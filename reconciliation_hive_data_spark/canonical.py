@@ -1,0 +1,155 @@
+"""Cross-engine determinism helpers (SURVEY.md §7.3).
+
+The driver hash-compares our Spark results against DuckDB. Three classes of
+nondeterminism have to be engineered away once, here, and reused everywhere:
+
+1. **Float aggregation order.** ``sum(double)`` depends on partial-agg order,
+   which differs between Spark's partial/final pipeline and DuckDB. Fix:
+   sum *decimals*: the decimal sum is exact and order-independent, then cast
+   back to double for a stable output dtype. This is also the right 100-TB
+   shape: decimal sums are algebraic, partially aggregatable,
+   shuffle-friendly.
+
+   **Scale choice is load-bearing.** Spark casts double→decimal via the
+   shortest round-trip representation (BigDecimal.valueOf); DuckDB's behavior
+   was probed empirically (2026-08-13): exact-binary expansion at high
+   scales, shortest-repr-like at low scales. The engines provably agree for
+   the *money class*: values whose true decimal form has <= 6 fractional
+   digits and < 15 significant digits (all fixture money columns: prices 2dp,
+   discount/tax 2dp, products exactly 6dp). For that class, a DECIMAL(..,6)
+   cast recovers the true decimal on both engines. DECIMAL(..,4) does NOT
+   (midpoint cases diverge — observed on sf0.001 lineitem), and high-scale
+   casts of arbitrary reals do not either. Hence: **always scale 6, only on
+   money-class values.**
+
+2. **Binary float → text.** Default double→string differs between engines.
+   Canonical serialization uses printf-style fixed decimals (`%.4f`), which
+   agrees across Java/C for the same double (again: no exact midpoints).
+
+3. **Timestamps.** Fixtures mix ms (orders/lineitem) and ns (events)
+   precision; Spark and DuckDB both truncate ns→µs for positive epochs, so
+   raw values align — but canonical *hashes* still format timestamps to
+   second precision text to be immune to future precision drift.
+
+Spark-side helpers return Columns; each has a DuckDB-SQL twin so the hash
+recipe has a single source of truth. Kinds: 'int', 'double', 'string', 'ts'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Unit separator / null sentinel for canonical row serialization.
+SEP = "␟"
+NULL = "␀"
+
+DOUBLE_FMT = "%.4f"
+
+
+# ---------------------------------------------------------------------------
+# exact money aggregation
+# ---------------------------------------------------------------------------
+
+MONEY_SCALE = 6
+
+
+def money_sum(col: str | Column, alias: str) -> Column:
+    """Order-independent double sum: exact decimal sum, surfaced as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{MONEY_SCALE})")).cast("double").alias(alias)
+
+
+def money_sum_sql(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`money_sum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{MONEY_SCALE}))) AS DOUBLE) AS {alias}"
+
+
+def money_avg(col: str | Column, alias: str) -> Column:
+    """Order-independent mean: exact decimal sum divided by count, in doubles."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.sum(c.cast(f"decimal(18,{MONEY_SCALE})")).cast("double")
+    return (total / F.count(c)).alias(alias)
+
+
+def money_avg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(18,{MONEY_SCALE}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def dround(col: str | Column, k: int = 2) -> Column:
+    """Deterministic cross-engine rounding for MONEY-CLASS doubles only
+    (true value <= 6 fractional digits): route through DECIMAL(28,6) — both
+    engines recover the identical true decimal — then round in exact decimal
+    arithmetic (ties away from zero on both engines, verified), then back to
+    double. Do NOT use on arbitrary reals (ratios, cosines): plain
+    ``F.round`` is correct there (no decimal-grid midpoints to disagree on).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c.cast(f"decimal(28,{MONEY_SCALE})"), k).cast("double")
+
+
+def dround_sql(expr: str, k: int = 2) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(28,{MONEY_SCALE})), {k}) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# canonical row serialization + hashing
+# ---------------------------------------------------------------------------
+
+def _canon_col(name: str, kind: str) -> Column:
+    c = F.col(name)
+    if kind == "int":
+        s = c.cast("string")
+    elif kind == "double":
+        s = F.format_string(DOUBLE_FMT, c.cast("double"))
+    elif kind == "ts":
+        s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    elif kind == "string":
+        s = c
+    else:
+        raise ValueError(f"unknown canonical kind {kind!r}")
+    return F.coalesce(s, F.lit(NULL))
+
+
+def _canon_sql(name: str, kind: str) -> str:
+    if kind == "int":
+        s = f"CAST({name} AS VARCHAR)"
+    elif kind == "double":
+        s = f"printf('{DOUBLE_FMT}', CAST({name} AS DOUBLE))"
+    elif kind == "ts":
+        s = f"strftime({name}, '%Y-%m-%d %H:%M:%S')"
+    elif kind == "string":
+        s = name
+    else:
+        raise ValueError(f"unknown canonical kind {kind!r}")
+    return f"COALESCE({s}, '{NULL}')"
+
+
+def canonical_row_hash(cols: list[tuple[str, str]]) -> Column:
+    """md5 over the canonical serialization of ``cols`` — the reconciliation
+    row-fingerprint primitive. md5 is the one hash Spark and DuckDB share."""
+    parts: list[Column] = []
+    for name, kind in cols:
+        parts.append(_canon_col(name, kind))
+    sep_joined = F.concat_ws(SEP, *parts)
+    return F.md5(sep_joined)
+
+
+def canonical_row_hash_sql(cols: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`canonical_row_hash`."""
+    parts = ", ".join(_canon_sql(name, kind) for name, kind in cols)
+    return f"md5(concat_ws('{SEP}', {parts}))"
+
+
+def ts_str(col: str | Column, alias: str | None = None) -> Column:
+    """Timestamp → canonical text (second precision); safe to hash."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+    return out.alias(alias) if alias else out
+
+
+def ts_str_sql(expr: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"

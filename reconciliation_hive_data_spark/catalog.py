@@ -1,0 +1,57 @@
+"""Fixture-table access.
+
+Tables (TESTDATA.md / FIXTURES.md §A): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table in
+each ``sf_dir``. Views registered here use the bare table name so Spark-SQL
+query text stays byte-compatible with the DuckDB oracle's pre-registered
+views (``__spark_entry__.py`` docstring).
+
+At 100 TB these reads would be directory-partitioned datasets; nothing here
+assumes single-file inputs — ``spark.read.parquet`` takes files or
+directories alike, and all downstream operators are partition-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always take the broadcast side of a
+#: join — at any scale factor these stay tiny relative to the fact tables.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet is self-describing: schema comes from
+    the footer, column pruning + predicate pushdown apply automatically."""
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view named after the table,
+    matching the oracle's view names so ``spark.sql`` text can be shared
+    nearly verbatim with ``oracle_sql()`` strings."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

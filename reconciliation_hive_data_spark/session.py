@@ -1,0 +1,45 @@
+"""SparkSession builder for tests/bench.
+
+The driver harness supplies its own session to ``__spark_entry__``; this
+builder is for our own tests and bench runs. Conf choices (SURVEY.md §4/§6):
+
+- AQE on: runtime shuffle coalescing, skew-join mitigation, broadcast
+  conversion — the levers a 1000-executor deployment relies on.
+- ``spark.sql.shuffle.partitions`` small for local sf<=0.1 benches (the
+  200-partition default is pure scheduling overhead at this scale); on a
+  real cluster this is AQE-managed from ``initialPartitionNum``.
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+- Arrow enabled for any pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "reconciliation-hive-data-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
