@@ -39,9 +39,22 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet is self-describing: schema comes from
-    the footer, column pruning + predicate pushdown apply automatically."""
+    the footer, column pruning + predicate pushdown apply automatically.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
+    (PARQUET_TYPE_ILLEGAL). We read nanos as int64 (legacy conf, runtime-
+    settable) and truncate to µs — exactly what DuckDB's µs TIMESTAMP does,
+    so the two engines see identical values. Integer DIV, not double
+    division: ns epochs (~1.7e18) exceed double's 53-bit integer range.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -1,1 +1,387 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function surface (SURVEY.md §2h): string / regex / date / math /
+conditional / hash / array / JSON / cast. All built-in `pyspark.sql.functions`
+(JVM-side, whole-stage-codegen) — zero Python UDFs in this module.
+
+Cross-engine hazards handled here (probed empirically, see canonical.py):
+- double→string differs between engines → printf-format instead
+- Spark datediff(end,start) vs DuckDB datediff('day',start,end) arg order
+- Spark CAST(double AS INT) truncates, DuckDB rounds → use floor/ceil explicitly
+- float32 array math promoted to double element-wise before folding, and all
+  folds are left-folds with identical op order on both engines
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..canonical import canonical_row_hash, canonical_row_hash_sql
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# fn_string — core string surface
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT c_custkey,
+       concat_ws('|', c_name, c_mktsegment) AS joined,
+       upper(c_mktsegment) AS seg_upper,
+       lower(c_name) AS name_lower,
+       substr(c_name, 10, 8) AS name_mid,
+       CAST(length(c_name) AS INT) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+       replace(c_name, 'Customer#', 'C-') AS name_short,
+       trim(concat('  ', c_mktsegment, '  ')) AS seg_trimmed,
+       split_part(c_name, '#', 2) AS name_num
+FROM customer
+"""
+
+
+@query("fn_string", oracle=_STRING_ORACLE)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat_ws/upper/lower/substring/length/lpad/replace/trim/split —
+    the row-serialization toolkit reconciliation hashing is built on."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 8).alias("name_mid"),
+        F.length("c_name").cast("int").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
+        F.regexp_replace("c_name", "Customer#", "C-").alias("name_short"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+            "seg_trimmed"
+        ),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_regex — regexp extract / replace / match
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT doc_id,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+       regexp_matches(text, 'table.*scan') AS has_table_scan
+FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents)
+"""
+
+
+@query("fn_regex", oracle=_REGEX_ORACLE)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike on document text."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_head"),
+        F.col("text").rlike("table.*scan").alias("has_table_scan"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_date — calendar surface
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(day(o_orderdate) AS INT) AS o_day,
+       CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS o_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT)
+         AS days_to_2002,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_sec
+FROM orders
+"""
+
+
+@query("fn_date", oracle=_DATE_ORACLE)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter/dow, date_trunc, last_day, datediff, interval
+    arithmetic, unix epoch. Spark's datediff(end, start) argument order is
+    the reverse of DuckDB's datediff('day', start, end) — normalized here.
+    dayofweek: Spark is 1=Sunday; DuckDB's dayofweek is 0=Sunday → +1."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("o_day"),
+        F.quarter("o_orderdate").cast("int").alias("o_quarter"),
+        F.dayofweek("o_orderdate").cast("int").alias("o_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).cast(
+            "int"
+        ).alias("days_to_2002"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 90), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.unix_timestamp("o_orderdate").cast("bigint").alias("epoch_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_math — numeric surface
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS abs_dev,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
+       CAST(ceil(l_extendedprice / 10000) AS BIGINT) AS price_decile,
+       ROUND(pow(l_quantity, 2) + pow(l_discount, 2), 6) AS sq_sum,
+       ROUND(ln(l_extendedprice), 6) AS log_price,
+       ROUND(log10(l_extendedprice), 6) AS log10_price,
+       ROUND(sqrt(l_quantity), 6) AS sqrt_qty,
+       CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
+       CAST(((CAST(l_orderkey AS BIGINT) - 7) % 5 + 5) % 5 AS BIGINT) AS pmod5
+FROM lineitem
+"""
+
+
+@query("fn_math", oracle=_MATH_ORACLE)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/floor/ceil/pow/ln/log10/sqrt/sign/pmod. Transcendentals (ln, log10,
+    pow, sqrt) are correctly-rounded-enough to agree bitwise on identical
+    input doubles; rounded to 6 dp anyway. pmod is Spark-only — the oracle
+    spells out ((a%b)+b)%b."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 10000).cast("bigint").alias("price_decile"),
+        F.round(F.pow("l_quantity", F.lit(2)) + F.pow("l_discount", F.lit(2)), 6).alias(
+            "sq_sum"
+        ),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.log10(F.col("l_extendedprice")), 6).alias("log10_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.sign(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.pmod(F.col("l_orderkey") - 7, F.lit(5)).cast("bigint").alias("pmod5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_cond — conditional surface (match-flag derivation)
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT s_suppkey,
+       CASE WHEN s_acctbal < 0 THEN 'NEGATIVE'
+            WHEN s_acctbal < 1000 THEN 'LOW'
+            WHEN s_acctbal < 5000 THEN 'MID'
+            ELSE 'HIGH' END AS bal_band,
+       COALESCE(nullif(s_name, 'Supplier#000000000'), '<root>') AS name_or_root,
+       greatest(s_acctbal, 0.0) AS bal_floor0,
+       least(s_acctbal, 9999.99) AS bal_cap,
+       CASE WHEN s_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nation_parity
+FROM supplier
+"""
+
+
+@query("fn_cond", oracle=_COND_ORACLE)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / greatest / least."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, "NEGATIVE")
+        .when(F.col("s_acctbal") < 1000, "LOW")
+        .when(F.col("s_acctbal") < 5000, "MID")
+        .otherwise("HIGH")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("s_name", F.lit("Supplier#000000000")), F.lit("<root>")).alias(
+            "name_or_root"
+        ),
+        F.greatest("s_acctbal", F.lit(0.0)).alias("bal_floor0"),
+        F.least("s_acctbal", F.lit(9999.99)).alias("bal_cap"),
+        F.when(F.col("s_nationkey") % 2 == 0, "even").otherwise("odd").alias(
+            "nation_parity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_hash — md5 canonical fingerprint (shared) + Spark-native hashes
+# ---------------------------------------------------------------------------
+
+_HASH_COLS = [
+    ("p_partkey", "int"),
+    ("p_name", "string"),
+    ("p_brand", "string"),
+    ("p_retailprice", "double"),
+]
+
+_HASH_ORACLE = f"""
+SELECT p_partkey,
+       {canonical_row_hash_sql(_HASH_COLS)} AS row_md5,
+       md5(p_name) AS name_md5
+FROM part
+"""
+
+
+@query("fn_hash", oracle=_HASH_ORACLE)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 row/column checksums over canonical serialization — the recon
+    fingerprint core. md5 is the only hash Spark and DuckDB share."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        canonical_row_hash(_HASH_COLS).alias("row_md5"),
+        F.md5("p_name").alias("name_md5"),
+    )
+
+
+@query("fn_hash_spark", oracle=None)
+def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hash family (xxhash64 / crc32 / sha2 / murmur3) — no
+    DuckDB twin exists, rows-only by design (SURVEY.md §2h). xxhash64 is the
+    scale choice for shuffle-key fingerprints: 8-byte output, ~10× md5
+    throughput, codegen-friendly."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.xxhash64("p_name", "p_brand").alias("xx64"),
+        F.crc32(F.col("p_name").cast("binary")).alias("crc"),
+        F.sha2(F.col("p_name").cast("binary"), 256).alias("sha256"),
+        F.hash("p_name").alias("murmur3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_array — higher-order array functions over embeddings
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(list_reduce(list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         (a, b) -> a + b), 6) AS norm_sq,
+       ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                         (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6)
+         AS max_elem,
+       array_to_string(list_transform(embedding[1:4],
+                                      x -> printf('%.5f', CAST(x AS DOUBLE))), ',')
+         AS head4
+FROM embeddings
+"""
+
+
+@query("fn_array", oracle=_ARRAY_ORACLE)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size / slice / transform / aggregate(fold) over the 64-d embedding
+    column: the SQL-native vector-math layer the similarity operators build
+    on. Elements promoted float→double (exact) before arithmetic; both
+    engines left-fold in identical order ⇒ bitwise-equal doubles."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("norm_sq"),
+        F.round(
+            F.aggregate(
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+                F.lit(float("-inf")),
+                lambda acc, x: F.when(x > acc, x).otherwise(acc),
+            ),
+            6,
+        ).alias("max_elem"),
+        F.expr(
+            "array_join(transform(slice(embedding, 1, 4),"
+            " x -> printf('%.5f', CAST(x AS DOUBLE))), ',')"
+        ).alias("head4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_map_json — JSON extraction from events.props
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+       json_extract_string(props, '$.missing') AS missing_key
+FROM events
+"""
+
+
+@query("fn_map_json", oracle=_JSON_ORACLE)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object + from_json over the events.props JSON strings
+    (shape '{"k": 87}' — FIXTURES.md). Missing keys → NULL on both engines."""
+    e = load(spark, sf_dir, "events")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        (k_int % 10).alias("k_mod"),
+        F.get_json_object("props", "$.missing").alias("missing_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_cast — the cast matrix
+# ---------------------------------------------------------------------------
+
+_CAST_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(o_orderkey AS DOUBLE) AS key_dbl,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS date_str,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(CAST('42' AS INT) + o_orderkey AS BIGINT) AS plus42,
+       CAST(epoch(CAST('2000-06-15 12:30:45' AS TIMESTAMP)) AS BIGINT) AS fixed_epoch
+FROM orders
+"""
+
+
+@query("fn_cast", oracle=_CAST_ORACLE)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix: int↔string, int→double, timestamp→date→string,
+    string→int, string→timestamp→epoch. double→int is deliberately spelled
+    floor(): Spark CAST truncates where DuckDB rounds — the explicit form is
+    the only portable one."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+            "date_str"
+        ),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        (F.lit("42").cast("int") + F.col("o_orderkey")).cast("bigint").alias("plus42"),
+        F.unix_timestamp(F.lit("2000-06-15 12:30:45").cast("timestamp"))
+        .cast("bigint")
+        .alias("fixed_epoch"),
+    )

@@ -1,1 +1,420 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation operators (SURVEY.md §2d).
+
+Every aggregate here is algebraic (partial-aggregatable): Spark plans them
+as HashAggregate(partial) → shuffle → HashAggregate(final), which is the
+only shape that survives 100 TB. Float sums go through exact decimal
+arithmetic (canonical.money_sum) so results are order- and
+partitioning-independent — also what makes them DuckDB-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..canonical import (
+    dround,
+    money_avg,
+    money_avg_sql,
+    money_sum,
+    money_sum_sql,
+)
+from ..catalog import load, register_views
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# agg_count — THE first recon check
+# ---------------------------------------------------------------------------
+
+_COUNT_ORACLE = """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_count", oracle=_COUNT_ORACLE)
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group row counts."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_basic — SUM/AVG/MIN/MAX numeric fingerprints
+# ---------------------------------------------------------------------------
+
+_BASIC_ORACLE = f"""
+SELECT l_returnflag,
+       {money_sum_sql('l_quantity', 'sum_qty')},
+       {money_avg_sql('l_extendedprice', 'avg_price')},
+       MIN(l_discount) AS min_disc,
+       MAX(l_discount) AS max_disc,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_basic", oracle=_BASIC_ORACLE)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column numeric fingerprints: the reconciliation aggregate core."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            money_sum("l_quantity", "sum_qty"),
+            money_avg("l_extendedprice", "avg_price"),
+            F.min("l_discount").alias("min_disc"),
+            F.max("l_discount").alias("max_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct — exact key-cardinality fingerprint
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+@query("agg_distinct", oracle=_DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to two-phase agg under the hood."""
+    return load(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx — HLL cardinality (the 100-TB path); approx ⇒ rows-only check
+# ---------------------------------------------------------------------------
+
+
+@query("agg_approx", oracle=None)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): at 100 TB the exact distinct
+    shuffle is the bottleneck; HLL sketches merge in constant memory.
+    Approximate ⇒ no DuckDB hash parity (rows-only check by design)."""
+    return load(spark, sf_dir, "events").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_stats — distribution fingerprint, deterministic formulation
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(sx / n, 6) AS mean_qty,
+       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty
+FROM s
+"""
+
+
+@query("agg_stats", oracle=_STATS_ORACLE)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STDDEV/VARIANCE via explicit exact sums (sum x, sum x²): Spark's and
+    DuckDB's native stddev use different merge orders over doubles and drift
+    in the last ulps; the sum-of-squares formulation over exact decimals is
+    bit-reproducible on both engines AND is the partial-aggregatable shape
+    you want at scale anyway (one pass, map-side combine)."""
+    q = F.col("l_quantity")
+    s = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            money_sum(q, "sx"),
+            money_sum(q * q, "sxx"),
+        )
+    )
+    n = F.col("n")
+    sx = F.col("sx")
+    sxx = F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(var), 6).alias("stddev_qty"),
+        F.round(var, 6).alias("var_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_nullcount — null-profile fingerprint (on derived nulled copy)
+# ---------------------------------------------------------------------------
+
+_NULLCOUNT_ORACLE = """
+WITH li AS (
+  SELECT l_linestatus,
+         CASE WHEN l_orderkey % 100 = 0 THEN NULL ELSE l_tax END AS l_tax
+  FROM lineitem
+)
+SELECT l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_tax,
+       COUNT(l_tax) AS n_nonnull_tax
+FROM li GROUP BY l_linestatus
+"""
+
+
+@query("agg_nullcount", oracle=_NULLCOUNT_ORACLE)
+def agg_nullcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-count fingerprint per column (fixtures are NULL-free, so the
+    nulls are injected deterministically per FIXTURES.md §B.3)."""
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "l_tax",
+        F.when(F.col("l_orderkey") % 100 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("l_tax")
+        ),
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("l_tax").isNull(), 1).otherwise(0)).alias("n_null_tax"),
+        F.count("l_tax").alias("n_nonnull_tax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_multikey — partition-grain group-by
+# ---------------------------------------------------------------------------
+
+_MULTIKEY_ORACLE = f"""
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(month(l_shipdate) AS INT) AS ship_month,
+       COUNT(*) AS n,
+       {money_sum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@query("agg_multikey", oracle=_MULTIKEY_ORACLE)
+def agg_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key group-by at the (year, month) reconciliation grain."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(F.count("*").alias("n"), money_sum("l_extendedprice", "sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_having — post-aggregation filter
+# ---------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+"""
+
+
+@query("agg_having", oracle=_HAVING_ORACLE)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: customers with more than 12 orders."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_rollup / agg_cube / agg_gsets — grouping-set hierarchy
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT COALESCE(r.r_name, '<ALL>') AS region,
+       COALESCE(n.n_name, '<ALL>') AS nation,
+       COUNT(*) AS n_customers,
+       {money_sum_sql('c.c_acctbal', 'sum_acctbal')}
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region→nation subtotal hierarchy. Grouping-null columns are
+    coalesced to a sentinel so real NULLs (none here) can't alias subtotal
+    rows."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), money_sum("c_acctbal", "sum_acctbal"))
+        .select(
+            F.coalesce("r_name", F.lit("<ALL>")).alias("region"),
+            F.coalesce("n_name", F.lit("<ALL>")).alias("nation"),
+            "n_customers",
+            "sum_acctbal",
+        )
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
+       COALESCE(l_linestatus, '<ALL>') AS linestatus,
+       COUNT(*) AS n,
+       {money_sum_sql('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping combinations of (returnflag, linestatus)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), money_sum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<ALL>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<ALL>")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+_GSETS_SQL = """
+SELECT COALESCE(l_returnflag, '<ALL>') AS returnflag,
+       COALESCE(l_linestatus, '<ALL>') AS linestatus,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_gsets", oracle=_GSETS_SQL)
+def agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface — query text is shared
+    verbatim with the DuckDB oracle (views registered under oracle names)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# agg_collect — deterministic value-set fingerprint
+# ---------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT r.r_name AS region,
+       string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@query("agg_collect", oracle=_COLLECT_ORACLE)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sort_array → join to string: deterministic value-set
+    fingerprint (bare collect_set order is partitioning-dependent)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_pivot — status × flag matrix
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = f"""
+SELECT l_returnflag,
+       {money_sum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'qty_F')},
+       {money_sum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'qty_O')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns. Explicit value list ⇒ no extra
+    distinct-values job and a fixed output schema (required at scale and for
+    the oracle's schema check)."""
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(money_sum("l_quantity", "q"))
+    )
+    return df.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_firstlast — deterministic representative row per group
+# ---------------------------------------------------------------------------
+
+# arg_min needs a totally-ordered tie-break key: epoch-days * 1e7 + orderkey
+_FIRSTLAST_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         (CAST(epoch(o_orderdate) AS BIGINT) // 86400) * 10000000 + o_orderkey
+           AS sort_key
+  FROM orders
+)
+SELECT o_custkey,
+       arg_min(o_orderkey, sort_key) AS first_order,
+       arg_max(o_orderkey, sort_key) AS last_order,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+FROM o GROUP BY o_custkey
+"""
+
+
+@query("agg_firstlast", oracle=_FIRSTLAST_ORACLE)
+def agg_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last order per customer via min_by/max_by over a totally
+    ordered key (epoch-days × 1e7 + orderkey): bare first()/min_by on a
+    tie-prone column is partitioning-dependent — the unique-key tie-break
+    makes the survivor deterministic (SURVEY.md §7.3.4)."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "sort_key",
+        (F.unix_timestamp("o_orderdate") / 86400).cast("bigint") * 10000000
+        + F.col("o_orderkey"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", "sort_key").alias("first_order"),
+        F.max_by("o_orderkey", "sort_key").alias("last_order"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )

@@ -1,1 +1,301 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators (SURVEY.md §2c).
+
+Scale notes per operator: fact⋈fact joins (orders⋈lineitem) shuffle on the
+join key and rely on AQE skew handling; fact⋈dim joins broadcast the dim
+explicitly (`F.broadcast`) — at 100 TB the dims here (region/nation/part/
+supplier/customer) stay orders of magnitude smaller than the facts. The
+as-of join is a range join + per-left-row top-1; its scale path is
+bucketing both sides by user_id so the range search never crosses executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..canonical import money_sum, money_sum_sql, ts_str
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# join_inner — FK equi join
+# ---------------------------------------------------------------------------
+
+_INNER_ORACLE = """
+SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'O'
+"""
+
+
+@query("join_inner", oracle=_INNER_ORACLE)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders→customer; Spark picks broadcast/SMJ via AQE."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_broadcast — explicit broadcast hash join, no shuffle of the fact side
+# ---------------------------------------------------------------------------
+
+_BROADCAST_ORACLE = f"""
+SELECT p.p_brand AS p_brand,
+       COUNT(*) AS n_lines,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@query("join_broadcast", oracle=_BROADCAST_ORACLE)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast the part dim into the lineitem scan: the fact side never
+    shuffles for the join, only for the (much smaller) brand aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_outer — full outer with coalesced keys (recon row-diff backbone)
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+SELECT o.o_orderkey AS o_orderkey,
+       o.o_orderstatus AS o_orderstatus,
+       COALESCE(l.n_lines, 0) AS n_lines
+FROM orders o LEFT OUTER JOIN (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+) l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@query("join_outer", oracle=_OUTER_ORACLE)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping orders with zero lineitems (257 at sf0.01)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").alias("cnt")
+    )
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_outer").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce("cnt", F.lit(0)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_semi / join_anti — key-presence checks (THE recon ops)
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND o.o_totalprice > 300000.0
+"""
+
+
+@query("join_semi", oracle=_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: orders that have at least one line item."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+@query("join_anti", oracle=_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti: orders with no line items — guaranteed 257 rows at sf0.01
+    (FIXTURES.md integrity facts). At 100 TB this is a sort-merge anti join
+    on the shuffle key, never a broadcast (both sides fact-sized)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_theta — non-equi banded join
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('p00_050', 0.0, 50.0), ('p050_100', 50.0, 100.0),
+         ('p100_200', 100.0, 200.0), ('p200_400', 200.0, 400.0),
+         ('p400_inf', 400.0, 1e18)
+)
+SELECT b.band AS band, e.event_type AS event_type, COUNT(*) AS n
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band, e.event_type
+"""
+
+
+@query("join_theta", oracle=_THETA_ORACLE)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (range-band) join: events bucketed into value bands. The band
+    table is a broadcast nested-loop side — tiny by construction, which is
+    the only shape where a BNL join is acceptable at scale."""
+    e = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [
+            ("p00_050", 0.0, 50.0),
+            ("p050_100", 50.0, 100.0),
+            ("p100_200", 100.0, 200.0),
+            ("p200_400", 200.0, 400.0),
+            ("p400_inf", 400.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("band", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_asof — nearest-earlier-event join (cross-checked vs DuckDB ASOF JOIN)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       e.event_id AS prior_event_id,
+       e.event_type AS prior_type
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type <> 'purchase') e
+  ON p.user_id = e.user_id AND e.ts < p.ts
+"""
+
+
+@query("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest earlier non-purchase event
+    by the same user. Spark lacks a native as-of join; the composition is a
+    user-partitioned range join + top-1 per left row (row_number over ts
+    desc). DuckDB's native ASOF JOIN is the oracle — a genuine cross-engine
+    semantic check. Scale path: pre-bucket both sides by user_id so the
+    range search is executor-local."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("prior_event_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("event_type").alias("prior_type"),
+        F.col("ts").alias("e_ts"),
+    )
+    j = p.join(e, (p.user_id == e.e_user) & (e.e_ts < p.p_ts))
+    w = Window.partitionBy("purchase_id").orderBy(F.col("e_ts").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "purchase_id",
+            "user_id",
+            ts_str("p_ts", "purchase_ts"),
+            "prior_event_id",
+            "prior_type",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_multiway — star-schema chain (TPC-H style)
+# ---------------------------------------------------------------------------
+
+_MULTIWAY_ORACLE = f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_lines,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("join_multiway", oracle=_MULTIWAY_ORACLE)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop star join: lineitem⋈orders⋈customer⋈nation⋈region → revenue per
+    region/nation. orders⋈lineitem shuffles on orderkey; every dim hop is a
+    broadcast, so the fact side shuffles exactly once."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_self — pairwise comparison within one table
+# ---------------------------------------------------------------------------
+
+_SELF_ORACLE = """
+SELECT a.event_id AS first_id, b.event_id AS next_id,
+       a.user_id AS user_id, a.event_type AS first_type, b.event_type AS next_type
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+ AND a.event_id <> b.event_id
+"""
+
+
+@query("join_self", oracle=_SELF_ORACLE)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join: pairs of events by the same user within 2 minutes —
+    pairwise-comparison shape used by dedup and sessionization."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTE"))
+        & (F.col("a.event_id") != F.col("b.event_id")),
+    ).select(
+        F.col("a.event_id").alias("first_id"),
+        F.col("b.event_id").alias("next_id"),
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_type").alias("first_type"),
+        F.col("b.event_type").alias("next_type"),
+    )

@@ -1,1 +1,159 @@
-"""Placeholder — populated in a later milestone."""
+"""Scan / source / sink operators (SURVEY.md §2a).
+
+scan_parquet/scan_pruned are the read path every other operator builds on —
+scan_pruned exists specifically so `.explain` shows PushedFilters +
+ReadSchema pruning (verified in tests/test_plans.py). Sinks write under
+/tmp (unique per sf) and return the read-back DataFrame so the driver's
+rows-only check observes the round trip, not just the write call.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, table_path
+from ..registry import query
+
+_TMP = "/tmp/rhds_sinks"
+
+
+def _sink_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{_TMP}/{tag}/{name}"
+
+
+# ---------------------------------------------------------------------------
+# scan_parquet — full-table scan
+# ---------------------------------------------------------------------------
+
+_SCAN_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+@query("scan_parquet", oracle=_SCAN_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain parquet scan, all columns (schema from the footer)."""
+    return load(spark, sf_dir, "customer")
+
+
+# ---------------------------------------------------------------------------
+# scan_pruned — projection + predicate pushed to the parquet reader
+# ---------------------------------------------------------------------------
+
+_PRUNED_ORACLE = """
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+@query("scan_pruned", oracle=_PRUNED_ORACLE)
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned + filtered scan: the reader materializes 2 of 11
+    columns and skips row groups via min/max stats — the difference between
+    reading 100 TB and reading 2 TB of it."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_csv_json — schema-applied text ingest (Hive TextFile SerDe analog)
+# ---------------------------------------------------------------------------
+
+
+@query("scan_csv_json", oracle=None)
+def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON ingest with explicit schemas: write nation out in both
+    text formats, read back with `spark.read.schema(...)`, and join the two
+    read-backs — proving schema-applied text ingest round-trips. Rows-only:
+    the oracle can't see the temp files."""
+    n = load(spark, sf_dir, "nation")
+    csv_dir = _sink_dir(sf_dir, "nation_csv")
+    json_dir = _sink_dir(sf_dir, "nation_json")
+    n.write.mode("overwrite").option("header", True).csv(csv_dir)
+    n.write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    c = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    j = spark.read.schema(schema).json(json_dir).select(
+        F.col("n_nationkey").alias("jk"), F.col("n_name").alias("j_name")
+    )
+    return c.join(j, c.n_nationkey == j.jk).select(
+        "n_nationkey", "n_name", "n_regionkey", "j_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_hive — catalog/metastore round trip
+# ---------------------------------------------------------------------------
+
+
+@query("scan_hive", oracle=None)
+def scan_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog round trip: saveAsTable → spark.read.table — the
+    metastore-backed access path the reference's DESCRIBE-driven query
+    generation relies on. Works against the session's catalog (embedded
+    Derby metastore when Hive support is enabled, in-memory otherwise);
+    rows-only: the side effect lives outside the oracle's view."""
+    import shutil
+
+    r = load(spark, sf_dir, "region")
+    spark.sql("DROP TABLE IF EXISTS rhds_region_cat")
+    # a previous session may have left the managed location behind without
+    # the catalog entry; saveAsTable refuses to reuse it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        warehouse.removeprefix("file:") + "/rhds_region_cat", ignore_errors=True
+    )
+    r.write.mode("overwrite").saveAsTable("rhds_region_cat")
+    back = spark.read.table("rhds_region_cat")
+    # schema comes back from the catalog, not the parquet footer
+    return back.select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# sink_parquet — persist + read back
+# ---------------------------------------------------------------------------
+
+
+@query("sink_parquet", oracle=None)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink round trip for a report table (the flagship recon
+    output persisted, re-read, re-aggregated)."""
+    from ..plans.recon import recon_order_totals
+
+    out = _sink_dir(sf_dir, "order_totals_report")
+    recon_order_totals(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_partitioned — Hive-style key=value layout + partition-pruned read-back
+# ---------------------------------------------------------------------------
+
+
+@query("sink_partitioned", oracle=None)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partitionBy write (key=value directories — the reference's
+    reconciliation drill-down unit) and a partition-pruned read-back:
+    the filter on the partition column prunes directories, not rows."""
+    out = _sink_dir(sf_dir, "lineitem_by_flag")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+    )

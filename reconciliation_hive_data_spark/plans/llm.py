@@ -1,1 +1,883 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-data-pipeline operators (SURVEY.md §2j + the north-star mandate):
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force + bucketed ANN), text analysis
+(tokens, TF-IDF, language-ID, quality scoring, fingerprinting) and
+multimodal (embedding centroid) — all as single declarative DataFrame
+expressions with DuckDB oracle twins.
+
+Determinism: MLlib's MinHashLSH/BucketedRandomProjectionLSH are
+seed/impl-nondeterministic across engines, so the LSH family here is
+re-derived from md5 — cross-engine reproducible bit-for-bit
+(SURVEY.md §7.3.6) — while staying the genuinely scalable formulation:
+every stage is a groupBy/join on a band/bucket key, i.e. plain shuffles
+that AQE can size, with no all-pairs blowup outside a bucket.
+
+Vector math: element-wise float→double promotion (exact), then identical
+left-folds on both engines ⇒ bitwise-equal doubles (DuckDB's native
+list_dot_product computes in float32 — probed 2026-08-13 — and is NOT used).
+
+100 TB notes: shingle/minhash stages are linear maps (narrow); candidate
+generation joins on (band, signature) so cost scales with true-duplicate
+density, not n²; embedding search buckets by sign-signature (IVF-style
+coarse quantization) to cut the scan per query; centroids are algebraic
+partial aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# derived fixtures (FIXTURES.md §B.4) + shared vector helpers
+# ---------------------------------------------------------------------------
+
+DOCS_DUP_CTE = """
+WITH documents_dup AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+EMB_DUP_CTE = """
+WITH embeddings_dup AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 100 = 0
+)
+"""
+
+
+def documents_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    extra = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return d.unionByName(extra)
+
+
+def embeddings_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    extra = e.filter(F.col("vec_id") % 100 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return e.unionByName(extra)
+
+
+def dot(a: str, b: str) -> Column:
+    """Σ a_i·b_i with float→double promotion and a left fold — the exact
+    op-order DuckDB's index-fold twin uses ⇒ bitwise-identical results."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 1 + len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return (
+        f"{duck_dot(a, b)} / (sqrt({duck_dot(a, a)}) * sqrt({duck_dot(b, b)}))"
+    )
+
+
+def tokens(df: DataFrame, distinct: bool) -> DataFrame:
+    """(doc_id, tok) pairs; ``distinct`` → set semantics (shingle sets)."""
+    arr = F.split("text", " ")
+    if distinct:
+        arr = F.array_distinct(arr)
+    return df.select("doc_id", F.explode(arr).alias("tok"))
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_exact — hash-groupBy exact dedup
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = DOCS_DUP_CTE + """
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS survivor_id,
+       COUNT(*) AS n_copies
+FROM documents_dup GROUP BY md5(text)
+"""
+
+
+@query("x_dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, survivor = min doc_id
+    (deterministic, SURVEY.md §7.3.4). At 100 TB: hash first, group on the
+    16-byte digest, never shuffle the raw text."""
+    d = documents_dup(spark, sf_dir)
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("survivor_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_near — MinHash + LSH banding (md5-derived, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+_NEAR_ORACLE = DOCS_DUP_CTE + """
+, toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents_dup
+),
+hashes AS (
+  SELECT t.doc_id, i.i,
+         substr(md5(CAST(i.i AS VARCHAR) || ':' || t.tok), 1, 8) AS h
+  FROM toks t CROSS JOIN (SELECT unnest(range(1, 9)) AS i) i
+),
+minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashes GROUP BY doc_id, i),
+sigs AS (
+  SELECT doc_id, (i - 1) // 2 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+  FROM minh GROUP BY doc_id, (i - 1) // 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+),
+tokn AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN tokn na ON na.doc_id = i.doc_a
+JOIN tokn nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter) >= 0.5
+"""
+
+
+@query("x_dedup_near", oracle=_NEAR_ORACLE)
+def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection: word-shingle MinHash (8 perms from md5) →
+    LSH bands (4 bands × 2 rows) → candidate join on band signature → exact
+    Jaccard verification ≥ 0.5. The md5-derived permutations make the whole
+    pipeline reproducible on any engine, unlike MLlib's MinHashLSH; the
+    shape (band-key join, verify only candidates) is exactly how dedup runs
+    at 100 TB — cost tracks duplicate density, not n²."""
+    d = documents_dup(spark, sf_dir)
+    toks = tokens(d, distinct=True)
+    hashes = toks.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i"),
+    ).select(
+        "doc_id",
+        "i",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("tok"))), 1, 8
+        ).alias("h"),
+    )
+    minh = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    sigs = (
+        minh.withColumn("band", F.floor((F.col("i") - 1) / 2))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s.getField("mh"),
+                ),
+                "|",
+            ).alias("sig")
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    tokn = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"]).groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    na = tokn.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = tokn.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(j >= 0.5)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_simhash — 32-bit SimHash from md5 nibble sign bits
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = DOCS_DUP_CTE + """
+, toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents_dup
+),
+bits AS (
+  SELECT t.doc_id, p.pos,
+         CASE WHEN substr(md5(t.tok), p.pos + 1, 1)
+                   IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS w
+  FROM toks t CROSS JOIN (SELECT unnest(range(0, 32)) AS pos) p
+),
+sums AS (SELECT doc_id, pos, SUM(w) AS s FROM bits GROUP BY doc_id, pos),
+sh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
+FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
+
+
+@query("x_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature where bit p is the sign of the
+    token-weight sum at p (weight ±1 from the top bit of md5 hex digit p).
+    Identical docs collide exactly; near-identical docs land within small
+    Hamming distance (the classic Charikar scheme, re-derived from md5 for
+    cross-engine determinism). Emits same-signature pairs."""
+    d = documents_dup(spark, sf_dir)
+    toks = tokens(d, distinct=True)
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("pos"),
+        F.md5("tok").alias("h"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.substring(F.col("h"), F.col("pos") + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        )
+        .otherwise(-1)
+        .alias("w"),
+    )
+    sums = bits.groupBy("doc_id", "pos").agg(F.sum("w").alias("s"))
+    sh = sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_ngram — word-bigram Jaccard within (lang, source) blocks
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = DOCS_DUP_CTE + """
+, toks AS (
+  SELECT doc_id, lang, source, tok, pos
+  FROM (SELECT doc_id, lang, source,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents_dup)
+),
+grams AS (
+  SELECT DISTINCT a.doc_id, a.lang, a.source, a.tok || ' ' || b.tok AS gram
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+gn AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, COUNT(*) AS ninter
+  FROM grams ga
+  JOIN grams gb ON ga.lang = gb.lang AND ga.source = gb.source
+               AND ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+  GROUP BY ga.doc_id, gb.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(p.ninter AS DOUBLE) / (na.n + nb.n - p.ninter), 6) AS jaccard
+FROM pairs p JOIN gn na ON na.doc_id = p.doc_a JOIN gn nb ON nb.doc_id = p.doc_b
+WHERE CAST(p.ninter AS DOUBLE) / (na.n + nb.n - p.ninter) >= 0.8
+"""
+
+
+@query("x_dedup_ngram", oracle=_NGRAM_ORACLE)
+def x_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-bigram) Jaccard dedup, blocked by (lang, source):
+    blocking keys bound the pair space — the difference between n² and
+    feasible at scale. Bigram sets preserve word order that unigram Jaccard
+    ignores. Reports pairs with J ≥ 0.8."""
+    d = documents_dup(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.concat_ws(" ", "tok", "nxt").alias("gram"),
+        )
+        .distinct()
+    )
+    gn = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", "gram"
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("gram").alias("gram_b"),
+    )
+    pairs = (
+        ga.join(
+            gb,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("source") == F.col("source_b"))
+            & (F.col("gram") == F.col("gram_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ninter"))
+    )
+    na = gn.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = gn.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(j >= 0.8)
+        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_embed — embedding-cosine near-dup (injected exact dups)
+# ---------------------------------------------------------------------------
+
+_EMBED_DEDUP_ORACLE = EMB_DUP_CTE + f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       ROUND({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings_dup a JOIN embeddings_dup b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.999
+"""
+
+
+@query("x_dedup_embed", oracle=_EMBED_DEDUP_ORACLE)
+def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: same-label pairs with cosine ≥ 0.999
+    (label = blocking key). Finds the injected duplicate vectors exactly;
+    at 100 TB the blocking key would be an LSH/IVF bucket instead of the
+    label, same plan shape."""
+    e = embeddings_dup(spark, sf_dir)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = cosine("ea", "eb")
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.999)
+        .select(
+            "vec_a", "vec_b", "label", F.round("cos_sim_raw", 6).alias("cos_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_sim_search — brute-force cosine top-k (the exact baseline)
+# ---------------------------------------------------------------------------
+
+_SIM_SEARCH_ORACLE = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {duck_cosine('e.embedding', 'q.qe')} AS cos_raw
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, ROUND(cos_raw, 6) AS cos_sim
+FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@query("x_sim_search", oracle=_SIM_SEARCH_ORACLE)
+def x_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the probe vector (vec_id=0,
+    FIXTURES.md §B.6), self-match excluded, vec_id tie-break. The exact
+    baseline every ANN variant (x_sim_ivf) is judged against. Plans as a
+    broadcast of the 1-row query side + TakeOrderedAndProject."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine("embedding", "qe").alias("cos_raw"))
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_sim_ivf — sign-signature bucketed ANN (IVF-style coarse quantization)
+# ---------------------------------------------------------------------------
+
+_SIM_IVF_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         CAST(list_reduce(list_transform(range(1, 9),
+              i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END),
+              (x, y) -> x + y) AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qb FROM b WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label, e.bucket,
+         {duck_cosine('e.embedding', 'q.qe')} AS cos_raw
+  FROM b e JOIN q ON e.bucket = q.qb
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, bucket, ROUND(cos_raw, 6) AS cos_sim
+FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
+"""
+
+
+@query("x_sim_ivf", oracle=_SIM_IVF_ORACLE)
+def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10: coarse-quantize every vector to an 8-bit sign signature
+    of its first 8 dims (a deterministic stand-in for IVF centroids), search
+    only the query's bucket. ~1/256 of the scan per probe at uniform spread —
+    the inverted-file structure at scale is a partition-pruned read on
+    bucket. Deterministic ⇒ fully oracle-checked (unlike MLlib LSH)."""
+    e = load(spark, sf_dir, "embeddings")
+    sig = F.aggregate(
+        F.expr(
+            "transform(sequence(1, 8), i -> CASE WHEN CAST(embedding[i-1] AS DOUBLE) > 0"
+            " THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    b = e.withColumn("bucket", sig)
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        b.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .select("vec_id", "label", "bucket", cosine("embedding", "qe").alias("cos_raw"))
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "bucket", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_sim_pairs — top-3 most-similar pairs per label
+# ---------------------------------------------------------------------------
+
+_SIM_PAIRS_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {duck_cosine('a.embedding', 'b.embedding')} AS cos_raw
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY label
+                                    ORDER BY cos_raw DESC, vec_a, vec_b)
+                 AS BIGINT) AS rn
+  FROM pairs
+) WHERE rn <= 3
+"""
+
+
+@query("x_sim_pairs", oracle=_SIM_PAIRS_ORACLE)
+def x_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine within each label block, keep top-3 pairs per label
+    (rank deterministic via (vec_a, vec_b) tie-break). The label is the
+    blocking key bounding the quadratic term."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select("label", "vec_a", "vec_b", cosine("ea", "eb").alias("cos_raw"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("cos_raw").desc(), F.col("vec_a"), F.col("vec_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_text_tokens — term frequencies per language
+# ---------------------------------------------------------------------------
+
+_TOKENS_ORACLE = """
+WITH toks AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY lang, term)
+SELECT lang, term, n, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term)
+                 AS BIGINT) AS rn
+  FROM tf
+) WHERE rn <= 10
+"""
+
+
+@query("x_text_tokens", oracle=_TOKENS_ORACLE)
+def x_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → top-10 terms per language by frequency."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = toks.groupBy("lang", "term").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return tf.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= 10
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_text_tfidf — pure-SQL TF-IDF, top-3 terms per doc
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf_raw
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, ROUND(tfidf_raw, 6) AS tfidf, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf_raw DESC, term) AS BIGINT) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@query("x_text_tfidf", oracle=_TFIDF_ORACLE)
+def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smoothed idf = ln((N+1)/(df+1))) with top-3 terms per doc.
+    Two aggregations + a join — no MLlib needed; both aggs are algebraic."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+        ).alias("tfidf_raw"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_text_langid — n-gram-lexicon language ID heuristic
+# ---------------------------------------------------------------------------
+
+_LANGID_LEXICON = {
+    "en": ["the", "a", "of", "and", "fast"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["的", "是", "了", "在", "不"],
+}
+
+_LANGID_SCORE_SQL = " + ".join(
+    f"(CASE WHEN ' ' || text || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+    for w in _LANGID_LEXICON["en"]
+)
+
+_LANGID_ORACLE = f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN ({_LANGID_SCORE_SQL}) > 0 THEN 'en' ELSE 'und' END
+         AS predicted_lang,
+       CAST({_LANGID_SCORE_SQL} AS INT) AS en_hits
+FROM documents
+"""
+
+
+@query("x_text_langid", oracle=_LANGID_ORACLE)
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: score text against per-language stopword
+    lexicons; argmax wins ('und' when nothing matches). The synthetic corpus
+    shares one English-ish vocabulary across lang labels (verified at survey
+    time), so only the en lexicon fires — the operator is the real pipeline
+    shape; swap lexicons for real corpora."""
+    d = load(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    hits = None
+    for w in _LANGID_LEXICON["en"]:
+        h = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(hits > 0, "en").otherwise("und").alias("predicted_lang"),
+        hits.cast("int").alias("en_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_text_quality — document quality scoring
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(length(text) AS BIGINT) AS text_len,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_chars, text_len,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS BIGINT)
+           AS n_stop
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, n_distinct,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS type_token_ratio,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(text_len AS DOUBLE) / n_tokens, 6) AS avg_token_span,
+       (text_len = n_chars) AS len_consistent
+FROM m
+"""
+
+
+@query("x_text_quality", oracle=_QUALITY_ORACLE)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metrics per doc: token count, type/token ratio, stopword
+    ratio, average token span, and a metadata-consistency check
+    (n_chars == length(text)) — the filter features of a pretraining-data
+    quality gate."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin("the", "a", "of"))
+    ).cast("bigint")
+    text_len = F.length("text").cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(n_distinct.cast("double") / n_tokens, 6).alias("type_token_ratio"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(text_len.cast("double") / n_tokens, 6).alias("avg_token_span"),
+        (text_len == F.col("n_chars")).alias("len_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_text_fingerprint — rolling-hash (winnowing-lite) fingerprint
+# ---------------------------------------------------------------------------
+
+_FPRINT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT t0.doc_id,
+         md5(t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' || t3.tok) AS gh
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  JOIN toks t3 ON t3.doc_id = t0.doc_id AND t3.pos = t0.pos + 3
+)
+SELECT doc_id, MIN(gh) AS fingerprint, COUNT(DISTINCT gh) AS n_grams
+FROM grams GROUP BY doc_id
+"""
+
+
+@query("x_text_fingerprint", oracle=_FPRINT_ORACLE)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash every rolling word 4-gram, keep the min
+    (winnowing with one band) + distinct-gram count. Equal fingerprints ⇒
+    shared 4-gram content — the containment-detection primitive."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .withColumn("t3", F.lead("tok", 3).over(w))
+        .filter(F.col("t3").isNotNull())
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", "tok", "t1", "t2", "t3")).alias("gh"),
+        )
+    )
+    return grams.groupBy("doc_id").agg(
+        F.min("gh").alias("fingerprint"),
+        F.countDistinct("gh").alias("n_grams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_multimodal — per-label embedding centroid (typed-array column ops)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+WITH flat AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
+       COUNT(*) AS n_vecs
+FROM flat GROUP BY label, pos
+"""
+
+
+@query("x_multimodal", oracle=_MULTIMODAL_ORACLE)
+def x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-d embeddings: posexplode → exact decimal
+    mean per (label, dim). Elements are rounded to 6 dp before the decimal
+    sum — float32 values never sit on 6-dp midpoints (dyadic-rational
+    argument, canonical.py), so both engines recover identical decimals and
+    the mean is order-independent. The multimodal pattern: array columns
+    flatten to (key, pos, value), aggregate algebraically, re-assemble."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("xf").cast("double"), 6).alias("x"),
+    )
+    return flat.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_multimodal_binary — opaque-binary column plumbing (decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+@query("x_multimodal_binary", oracle=None)
+def x_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline: documents.text stands in as an
+    opaque ``binary`` payload with typed metadata, processed by an
+    Arrow-batched mapInPandas 'decoder'. The real decode (image/audio libs)
+    is STUBBED with a deterministic fake — byte length + first-8-byte
+    digest — because the codec libraries are not in this container; the
+    Spark-side plumbing (binary schema, batch iteration, output schema) is
+    real and is what matters at scale. Rows-only by design (binary + UDF)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import pattern
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").cast("int").alias("declared_len"),
+        ).alias("meta"),
+    )
+
+    out_schema = (
+        "doc_id bigint, mime string, payload_len int, declared_len int, head_hex string"
+    )
+
+    def decode_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "payload_len": [len(b) for b in pdf["payload"]],
+                    "declared_len": [m["declared_len"] for m in pdf["meta"]],
+                    # deterministic fake for the real decoder (see docstring)
+                    "head_hex": [bytes(b[:8]).hex() for b in pdf["payload"]],
+                }
+            )
+
+    return d.mapInPandas(decode_batches, out_schema)

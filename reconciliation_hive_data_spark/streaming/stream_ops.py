@@ -1,1 +1,332 @@
-"""Placeholder — populated in a later milestone."""
+"""Structured Streaming operators (SURVEY.md §2k).
+
+Pattern: every stream runs the events fixture through
+``readStream → transform → memory sink`` with ``Trigger.AvailableNow`` (the
+stream processes the whole fixture as micro-batches, then stops), and the
+returned DataFrame is the sink table — so the driver's oracle compares the
+STREAM's output against the equivalent batch SQL (the "batch twin",
+SURVEY.md §3.4). Watermark/stateful-dedup outputs depend on micro-batch
+timing ⇒ rows-only by design.
+
+At scale these are the same queries against Kafka/file sources: state lives
+in the per-partition StateStore, watermarks bound it, and the memory sink
+becomes foreachBatch → parquet (s_foreachbatch shows that path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, table_path
+from ..registry import query
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+_counter = 0
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (ns timestamps read as int64 and
+    truncated to µs — same normalization as the batch path in catalog.load,
+    so stream and batch twin see identical values)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; glob-filter to the one table
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def _run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Run an availableNow stream into a memory sink, return the sink."""
+    global _counter
+    _counter += 1
+    table = f"{name}_{_counter}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table)
+
+
+def _run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    global _counter
+    _counter += 1
+    table = f"{name}_{_counter}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table)
+
+
+# ---------------------------------------------------------------------------
+# src_stream — stream source replay == batch scan
+# ---------------------------------------------------------------------------
+
+_SRC_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("src_stream", oracle=_SRC_ORACLE)
+def src_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream replay of events, aggregated per type — must
+    equal the batch scan exactly (exactly-once file source semantics)."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "src_stream")
+
+
+# ---------------------------------------------------------------------------
+# s_tumbling — tumbling-window aggregation
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("s_tumbling", oracle=_TUMBLING_ORACLE)
+def s_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling window counts/sums on the stream; batch twin =
+    date_trunc('hour')."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return _run_to_memory(out, "s_tumbling")
+
+
+# ---------------------------------------------------------------------------
+# s_sliding — sliding window (1 h window / 15 min slide)
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+WITH k AS (SELECT unnest(range(0, 4)) AS k),
+assigned AS (
+  SELECT time_bucket(INTERVAL '15 minutes', e.ts) - k.k * INTERVAL '15 minutes'
+           AS win_start,
+         e.event_id, e.value
+  FROM events e CROSS JOIN k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM assigned GROUP BY win_start
+"""
+
+
+@query("s_sliding", oracle=_SLIDING_ORACLE)
+def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window 1h/15min: each event lands in 4 windows. The batch
+    twin assigns windows arithmetically (bucket − k·slide) — same semantics
+    Spark's window() uses internally."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    out = agg.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "n",
+        "sum_value",
+    )
+    return _run_to_memory(out, "s_sliding")
+
+
+# ---------------------------------------------------------------------------
+# s_session — gap-based session windows (30 min)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@query("s_session", oracle=_SESSION_ORACLE)
+def s_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user on the stream via
+    session_window(); the batch twin is the lag+cumulative-sum session-id
+    assignment — the two formulations must agree on session membership
+    counts (SURVEY.md §7.3.5). Output is keyed by (user, session ordinal)
+    so the comparison is timestamp-layout-independent."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"))
+    sessions = agg.select("user_id", F.col("w.start").alias("start"), "n_events")
+    sunk = _run_to_memory(sessions, "s_session")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("start")
+    return sunk.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_id"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# s_watermark — late-data drop (timing-dependent ⇒ rows-only)
+# ---------------------------------------------------------------------------
+
+
+@query("s_watermark", oracle=None)
+def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg in append mode: a 10-minute watermark gates
+    state eviction and late-row handling. Which windows are finalized
+    depends on micro-batch boundaries ⇒ rows-only by design; the
+    metamorphic check (late events dropped) lives in tests."""
+    s = _events_stream(spark, sf_dir)
+    late = s.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 500 == 0, F.col("ts") - F.expr("INTERVAL 2 HOURS")
+        ).otherwise(F.col("ts")),
+    )
+    agg = (
+        late.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n",
+        )
+    )
+    return _run_append_to_memory(agg, "s_watermark")
+
+
+# ---------------------------------------------------------------------------
+# s_dedup_state — stateful stream dedup
+# ---------------------------------------------------------------------------
+
+
+@query("s_dedup_state", oracle=None)
+def s_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dropDuplicates across micro-batches: first occurrence per
+    event_id wins, dedup state bounded by the watermark. Duplicates are
+    injected by unioning a shifted copy of the stream."""
+    s = _events_stream(spark, sf_dir)
+    dup = s.unionByName(s)  # every event twice across the replay
+    dedup = (
+        dup.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return _run_to_memory(dedup, "s_dedup_state")
+
+
+# ---------------------------------------------------------------------------
+# s_stream_static — stream ⋈ static dimension
+# ---------------------------------------------------------------------------
+
+_STREAM_STATIC_ORACLE = """
+SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("s_stream_static", oracle=_STREAM_STATIC_ORACLE)
+def s_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: enrich the event stream with the customer dim
+    (broadcast per micro-batch), aggregate per segment — equals the batch
+    join exactly."""
+    s = _events_stream(spark, sf_dir)
+    c = load(spark, sf_dir, "customer")
+    j = s.join(F.broadcast(c), s.user_id == c.c_custkey)
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+    return _run_to_memory(agg, "s_stream_static")
+
+
+# ---------------------------------------------------------------------------
+# s_foreachbatch — micro-batch parquet sink with checkpoint
+# ---------------------------------------------------------------------------
+
+
+@query("s_foreachbatch", oracle=None)
+def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch appends to parquet under a
+    checkpointed query — the exactly-once-ish production sink pattern.
+    Returns the re-read output."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/rhds_stream/{tag}/foreachbatch_out"
+    ckpt = f"/tmp/rhds_stream/{tag}/foreachbatch_ckpt"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    s = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    q = (
+        s.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,1 +1,157 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2l).
+
+The engine's rule is builtins-first (every other module is UDF-free); this
+module exists to prove the full Python extension surface with the
+performance-correct variants: Arrow-batched pandas UDFs, grouped-agg pandas
+UDFs, and applyInPandas — never row-at-a-time Python in a hot path. Each
+UDF's semantics are deliberately SQL-expressible so even the Python path
+stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from .catalog import load
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# udf_scalar — row-at-a-time Python UDF (the slow path, shown once)
+# ---------------------------------------------------------------------------
+
+_SCALAR_ORACLE = """
+SELECT c_custkey,
+       upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+         AS seg_title
+FROM customer
+"""
+
+
+@query("udf_scalar", oracle=_SCALAR_ORACLE)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Python UDF (title-case a segment). Row-at-a-time Python costs
+    a JVM↔Python round trip per batch of rows — present for surface
+    completeness; everything else in this engine uses builtins."""
+
+    @F.udf(StringType())
+    def title_case(s: str) -> str:
+        return s[:1].upper() + s[1:].lower() if s else s
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", title_case("c_mktsegment").alias("seg_title"))
+
+
+# ---------------------------------------------------------------------------
+# udf_pandas — Arrow-batched scalar pandas UDF
+# ---------------------------------------------------------------------------
+
+_PANDAS_ORACLE = """
+SELECT o_orderkey,
+       ROUND(ln(o_totalprice) - 10.0, 6) AS log_centered
+FROM orders
+"""
+
+
+@query("udf_pandas", oracle=_PANDAS_ORACLE)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF over Arrow batches — numpy log on a whole
+    column per batch; the 10-100× faster Python path (SURVEY.md §2l)."""
+
+    @F.pandas_udf("double")
+    def log_centered(price: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.log(price) - 10.0
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.round(log_centered("o_totalprice"), 6).alias("log_centered")
+    )
+
+
+# ---------------------------------------------------------------------------
+# udaf_pandas — grouped-agg pandas UDF (trimmed mean)
+# ---------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT o_orderstatus,
+       CAST(ROUND(CAST(
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           - MIN(o_totalprice) - MAX(o_totalprice)
+         AS DECIMAL(28,6)) / (COUNT(*) - 2), 4) AS DOUBLE) AS trimmed_mean
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("udaf_pandas", oracle=_UDAF_ORACLE)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: mean with one min and one max dropped.
+    math.fsum keeps the Python-side sum exact regardless of the partition
+    order Spark feeds the group in — matching the oracle's exact decimal
+    arithmetic (same determinism rule as canonical.money_sum)."""
+
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        vals = v.to_numpy()
+        total = math.fsum(vals) - vals.min() - vals.max()
+        return float(
+            __import__("decimal").Decimal(repr(total / (len(vals) - 2))).quantize(
+                __import__("decimal").Decimal("0.0001")
+            )
+        )
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        trimmed_mean("o_totalprice").alias("trimmed_mean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# udtf_apply — grouped map (applyInPandas) sessionization
+# ---------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM o GROUP BY user_id
+"""
+
+
+@query("udtf_apply", oracle=_UDTF_ORACLE)
+def udtf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas per-user sessionization (30-min gap): the whole user
+    timeline arrives as one pandas frame, imperative logic runs locally,
+    output is a per-group summary. Semantics match the pure-SQL lag+cumsum
+    twin, so even the grouped-map path is oracle-checked (most UDTFs are
+    rows-only; this one is deliberately not)."""
+
+    def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        gaps = pdf["ts"].diff().dt.total_seconds()
+        new_sess = (gaps.isna()) | (gaps > 1800)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [int(new_sess.sum())],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    return ev.groupBy("user_id").applyInPandas(
+        sessionize, "user_id bigint, n_sessions bigint, n_events bigint"
+    )

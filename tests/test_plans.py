@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions — the 100-TB design contract
+(SURVEY.md §4): predicates reach the parquet scan, projections prune
+columns, dims broadcast, facts don't, and aggregates are two-phase.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reconciliation_hive_data_spark.catalog import load
+from reconciliation_hive_data_spark.operators.joins import join_anti, join_broadcast
+from reconciliation_hive_data_spark.operators.scans import scan_pruned
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    p = plan(scan_pruned(spark, sf_dir))
+    assert "PushedFilters" in p
+    assert "l_quantity" in p.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning(spark, sf_dir):
+    p = plan(scan_pruned(spark, sf_dir))
+    # ReadSchema carries only the projected+filtered columns, not all 11
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    p = plan(join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_fact_anti_join_does_not_broadcast_fact(spark, sf_dir):
+    p = plan(join_anti(spark, sf_dir))
+    assert "LeftAnti" in p
+
+
+def test_aggregate_is_two_phase(spark, sf_dir):
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    p = plan(df)
+    # partial + final HashAggregate = map-side combine before the shuffle
+    assert p.count("HashAggregate") >= 2
+
+
+def test_events_ts_microsecond_parity(spark, sf_dir):
+    """events ns→µs truncation must match DuckDB's read of the same file."""
+    import duckdb
+
+    ours = [
+        r.ts
+        for r in load(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(50)
+        .select("ts")
+        .collect()
+    ]
+    con = duckdb.connect()
+    theirs = [
+        r[0]
+        for r in con.execute(
+            f"SELECT ts FROM read_parquet('{sf_dir}/events.parquet')"
+            " ORDER BY event_id LIMIT 50"
+        ).fetchall()
+    ]
+    assert ours == theirs
