@@ -103,6 +103,22 @@ def tokens(df: DataFrame, distinct: bool) -> DataFrame:
     return df.select("doc_id", F.explode(arr).alias("tok"))
 
 
+def shingles3(df: DataFrame) -> DataFrame:
+    """Distinct 3-word shingles per doc, built array-side (zip of the token
+    array with its own 1- and 2-shifts) — a narrow map, no window shuffle."""
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(split(text, ' ')) - 3),"
+                    " k -> concat_ws(' ', slice(split(text, ' '), k + 1, 3)))"
+                )
+            )
+        ).alias("tok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # x_dedup_exact — hash-groupBy exact dedup
 # ---------------------------------------------------------------------------
@@ -132,8 +148,17 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _NEAR_ORACLE = DOCS_DUP_CTE + """
-, toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents_dup
+, raw AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents_dup
+),
+toks AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS tok
+  FROM raw t0
+  JOIN raw t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN raw t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
 ),
 hashes AS (
   SELECT t.doc_id, i.i,
@@ -169,14 +194,21 @@ WHERE CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter) >= 0.5
 
 @query("x_dedup_near", oracle=_NEAR_ORACLE)
 def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection: word-shingle MinHash (8 perms from md5) →
+    """Near-duplicate detection: 3-word-shingle MinHash (8 perms from md5) →
     LSH bands (4 bands × 2 rows) → candidate join on band signature → exact
     Jaccard verification ≥ 0.5. The md5-derived permutations make the whole
     pipeline reproducible on any engine, unlike MLlib's MinHashLSH; the
     shape (band-key join, verify only candidates) is exactly how dedup runs
-    at 100 TB — cost tracks duplicate density, not n²."""
+    at 100 TB — cost tracks duplicate density, not n².
+
+    Shingle width is load-bearing: UNIGRAM sets over this corpus's ~40-word
+    vocabulary overlap so heavily that banding degenerates quadratic
+    (measured: 9.6M candidate pairs at sf0.1); 3-gram shingles are
+    order-sensitive and near-unique across random docs, so candidates
+    collapse to true near-dups (the same reason production dedup shingles
+    at n≥3)."""
     d = documents_dup(spark, sf_dir)
-    toks = tokens(d, distinct=True)
+    toks = shingles3(d)
     hashes = toks.select(
         "doc_id",
         "tok",
@@ -396,11 +428,16 @@ def x_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EMBED_DEDUP_ORACLE = EMB_DUP_CTE + f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-       ROUND({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-FROM embeddings_dup a JOIN embeddings_dup b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {duck_cosine('a.embedding', 'b.embedding')} >= 0.999
+, n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings_dup
+)
+SELECT vec_a, vec_b, label, ROUND(cos_raw, 6) AS cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_raw
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_raw >= 0.999
 """
 
 
@@ -409,17 +446,26 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: same-label pairs with cosine ≥ 0.999
     (label = blocking key). Finds the injected duplicate vectors exactly;
     at 100 TB the blocking key would be an LSH/IVF bucket instead of the
-    label, same plan shape."""
+    label, same plan shape.
+
+    Norms are precomputed per vector BEFORE the pair join (linear work) so
+    each of the O(pairs) rows evaluates one dot-product fold, not three —
+    measured 6.7s → ~2.5s at sf0.1."""
     e = embeddings_dup(spark, sf_dir)
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    n = e.withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    b = e.select(
+    b = n.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = cosine("ea", "eb")
+    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("cos_sim_raw", cos)
@@ -530,11 +576,15 @@ def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SIM_PAIRS_ORACLE = f"""
-WITH pairs AS (
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+pairs AS (
   SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {duck_cosine('a.embedding', 'b.embedding')} AS cos_raw
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+         {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_raw
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT label, vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim, rn FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY label
@@ -549,17 +599,30 @@ SELECT label, vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim, rn FROM (
 def x_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine within each label block, keep top-3 pairs per label
     (rank deterministic via (vec_a, vec_b) tie-break). The label is the
-    blocking key bounding the quadratic term."""
+    blocking key bounding the quadratic term; norms are precomputed per
+    vector so pair rows evaluate a single fold (see x_dedup_embed)."""
     e = load(spark, sf_dir, "embeddings")
-    a = e.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = e.select(
+    n = e.withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+    a = n.select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
-    ).select("label", "vec_a", "vec_b", cosine("ea", "eb").alias("cos_raw"))
+    ).select(
+        "label",
+        "vec_a",
+        "vec_b",
+        (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+    )
     w = Window.partitionBy("label").orderBy(
         F.col("cos_raw").desc(), F.col("vec_a"), F.col("vec_b")
     )
