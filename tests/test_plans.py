@@ -54,6 +54,32 @@ def test_aggregate_is_two_phase(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
 
 
+def test_lsh_candidate_join_is_hash_join(spark, sf_dir):
+    """The LSH candidate join must be an equi join on (band, sig) — a
+    BroadcastNestedLoopJoin here means the blocking key got lost and the
+    operator went quadratic."""
+    from reconciliation_hive_data_spark.plans.llm import x_dedup_near
+
+    p = plan(x_dedup_near(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    """The as-of range join must keep its user_id equi component."""
+    from reconciliation_hive_data_spark.operators.joins import join_asof
+
+    p = plan(join_asof(spark, sf_dir))
+    assert "CartesianProduct" not in p
+
+
+def test_flagship_uses_exact_decimal_sum(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.recon import recon_order_totals
+
+    p = plan(recon_order_totals(spark, sf_dir))
+    assert "sum(cast(" in p.lower()  # decimal-routed, order-independent
+
+
 def test_events_ts_microsecond_parity(spark, sf_dir):
     """events ns→µs truncation must match DuckDB's read of the same file."""
     import duckdb
