@@ -42,4 +42,15 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    # Spark SQL + Hive integration (the reference's metastore-backed world):
+    # embedded Derby metastore, homed per-process under /tmp so concurrent
+    # sessions don't fight over the Derby lock. Falls back to the in-memory
+    # catalog if Hive classes are unavailable.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions",
+        f"-Dderby.system.home=/tmp/rhds_derby_{os.getpid()}",
+    )
+    try:
+        return builder.enableHiveSupport().getOrCreate()
+    except Exception:
+        return builder.getOrCreate()
