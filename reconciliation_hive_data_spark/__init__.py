@@ -22,3 +22,11 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    if name == "ReconPair":
+        from .plans.api import ReconPair
+
+        return ReconPair
+    raise AttributeError(name)

@@ -1,0 +1,257 @@
+"""Generic reconciliation API — the engine's user-facing surface.
+
+The reference's central object is the reconciliation pair config: (source
+table, target table, key columns, compare columns) from which it generates
+every per-check query (SURVEY.md §1.1, genre-defining). This module is that
+config object for the Spark engine: a :class:`ReconPair` describes WHAT to
+reconcile; each method composes the corresponding distributed check from
+operators in :mod:`plans.recon`'s style and returns a report DataFrame.
+
+The named queries in plans/recon.py are fixed instantiations kept for the
+oracle harness; users reconcile their own tables through this API::
+
+    pair = ReconPair(
+        source=spark.read.parquet("s3://prod/orders"),
+        target=spark.read.parquet("s3://replica/orders"),
+        keys=["o_orderkey"],
+        compare_cols={"o_totalprice": "double", "o_orderstatus": "string"},
+        tolerance=0.01,
+    )
+    pair.summary()        # one-row MATCH/DIFF rollup of every check
+    pair.row_counts("o_orderstatus")
+    pair.key_diff()       # keys missing per side
+    pair.duplicate_keys()
+    pair.row_hash_diff()  # md5 canonical row fingerprint mismatches
+    pair.cell_diff()      # (key, column, src_val, tgt_val) mismatch rows
+    pair.fingerprints()   # per-column algebraic fingerprints both sides
+
+Every report is algebraic/partially-aggregatable or a key-shuffled
+anti/inner join — the shapes that hold at 100 TB (SURVEY.md §7.3.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..canonical import canonical_row_hash, dround, money_sum
+from ..catalog import load
+from ..registry import query
+
+#: compare-column kinds accepted by canonical serialization
+_KINDS = ("int", "double", "string", "ts")
+
+
+@dataclass
+class ReconPair:
+    source: DataFrame
+    target: DataFrame
+    keys: list[str]
+    #: column → canonical kind ('int' | 'double' | 'string' | 'ts')
+    compare_cols: dict[str, str]
+    #: numeric tolerance for double comparisons (cell_diff / summary)
+    tolerance: float = 0.0
+
+    def __post_init__(self) -> None:
+        for col, kind in self.compare_cols.items():
+            if kind not in _KINDS:
+                raise ValueError(f"{col}: unknown kind {kind!r}; use one of {_KINDS}")
+        missing = [c for c in [*self.keys, *self.compare_cols] if c not in self.source.columns]
+        if missing:
+            raise ValueError(f"columns not in source: {missing}")
+
+    # -- helpers ----------------------------------------------------------
+
+    def _key(self) -> list[str]:
+        return list(self.keys)
+
+    def _hash_cols(self) -> list[tuple[str, str]]:
+        return [(k, "int") for k in self.keys] + list(self.compare_cols.items())
+
+    # -- checks -----------------------------------------------------------
+
+    def row_counts(self, grain: str | None = None) -> DataFrame:
+        """Per-grain (or global) row counts with diff + flag."""
+        gcols = [grain] if grain else []
+
+        def side(df: DataFrame, name: str) -> DataFrame:
+            g = df.groupBy(*gcols) if gcols else df.groupBy()
+            return g.agg(F.count("*").alias(name))
+
+        s, t = side(self.source, "src_cnt"), side(self.target, "tgt_cnt")
+        j = s.join(t, gcols, "full_outer") if gcols else s.crossJoin(t)
+        src, tgt = F.coalesce("src_cnt", F.lit(0)), F.coalesce("tgt_cnt", F.lit(0))
+        return j.select(
+            *gcols,
+            src.alias("src_cnt"),
+            tgt.alias("tgt_cnt"),
+            (src - tgt).alias("diff"),
+            F.when(src == tgt, "MATCH").otherwise("COUNT_DIFF").alias("status"),
+        )
+
+    def key_diff(self) -> DataFrame:
+        """Keys present on exactly one side (sort-merge anti joins)."""
+        sk = self.source.select(*self._key()).distinct()
+        tk = self.target.select(*self._key()).distinct()
+        miss_t = sk.join(tk, self._key(), "left_anti").select(
+            *self._key(), F.lit("MISSING_IN_TARGET").alias("side")
+        )
+        miss_s = tk.join(sk, self._key(), "left_anti").select(
+            *self._key(), F.lit("MISSING_IN_SOURCE").alias("side")
+        )
+        return miss_t.unionByName(miss_s)
+
+    def duplicate_keys(self) -> DataFrame:
+        """Keys occurring more than once, per side."""
+
+        def dups(df: DataFrame, side: str) -> DataFrame:
+            return (
+                df.groupBy(*self._key())
+                .agg(F.count("*").alias("cnt"))
+                .filter(F.col("cnt") > 1)
+                .select(F.lit(side).alias("side"), *self._key(), "cnt")
+            )
+
+        return dups(self.source, "source").unionByName(dups(self.target, "target"))
+
+    def row_hash_diff(self) -> DataFrame:
+        """Key-matched rows whose canonical md5 fingerprints differ."""
+        cols = self._hash_cols()
+        sh = self.source.select(*self._key(), canonical_row_hash(cols).alias("h"))
+        th = self.target.select(*self._key(), canonical_row_hash(cols).alias("h")).distinct()
+        j = sh.alias("s").join(th.alias("t"), self._key())
+        return j.filter(F.col("s.h") != F.col("t.h")).select(
+            *self._key(),
+            F.col("s.h").alias("src_hash"),
+            F.col("t.h").alias("tgt_hash"),
+        )
+
+    def cell_diff(self) -> DataFrame:
+        """One row per (key, differing column): src vs tgt canonical values.
+        Doubles respect ``tolerance``; everything else is null-safe exact."""
+        key = self._key()
+        s = self.source.alias("s")
+        t = self.target.dropDuplicates(key).alias("t")
+        j = s.join(t, [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key])
+
+        arms: list[Column] = []
+        for col, kind in self.compare_cols.items():
+            sc, tc = F.col(f"s.{col}"), F.col(f"t.{col}")
+            if kind == "double" and self.tolerance > 0:
+                differs = ~(
+                    sc.eqNullSafe(tc)
+                    | (F.abs(sc - tc) <= F.lit(self.tolerance))
+                )
+            else:
+                differs = ~sc.eqNullSafe(tc)
+            arms.append(
+                F.when(
+                    differs,
+                    F.struct(
+                        F.lit(col).alias("col_name"),
+                        sc.cast("string").alias("src_val"),
+                        tc.cast("string").alias("tgt_val"),
+                    ),
+                )
+            )
+        exploded = j.select(
+            *[F.col(f"s.{k}").alias(k) for k in key],
+            F.explode(F.filter(F.array(*arms), lambda x: x.isNotNull())).alias("d"),
+        )
+        return exploded.select(
+            *key,
+            F.col("d.col_name").alias("col_name"),
+            F.col("d.src_val").alias("src_val"),
+            F.col("d.tgt_val").alias("tgt_val"),
+        )
+
+    def fingerprints(self) -> DataFrame:
+        """Per-column algebraic fingerprints for both sides, unpivoted to
+        (metric, src_val, tgt_val, diff, status) rows."""
+
+        def side_agg(df: DataFrame) -> DataFrame:
+            aggs = [F.count("*").cast("double").alias("row_count")]
+            for col, kind in self.compare_cols.items():
+                aggs.append(
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                    .cast("double")
+                    .alias(f"nulls__{col}")
+                )
+                aggs.append(
+                    F.countDistinct(col).cast("double").alias(f"distinct__{col}")
+                )
+                if kind in ("int", "double"):
+                    aggs.append(money_sum(col, f"sum__{col}"))
+                    aggs.append(F.min(col).cast("double").alias(f"min__{col}"))
+                    aggs.append(F.max(col).cast("double").alias(f"max__{col}"))
+            return df.agg(*aggs)
+
+        s, t = side_agg(self.source), side_agg(self.target)
+        metrics = s.columns
+        stack = ", ".join(f"'{m}', `{m}`" for m in metrics)
+
+        def unpivot(df: DataFrame, val: str) -> DataFrame:
+            return df.selectExpr(f"stack({len(metrics)}, {stack}) as (metric, {val})")
+
+        j = unpivot(s, "sval").join(unpivot(t, "tval"), "metric")
+        return j.select(
+            "metric",
+            dround("sval", 4).alias("src_val"),
+            dround("tval", 4).alias("tgt_val"),
+            dround(F.col("sval") - F.col("tval"), 4).alias("diff"),
+            F.when(F.abs(F.col("sval") - F.col("tval")) < 1e-9, "MATCH")
+            .otherwise("FP_DIFF")
+            .alias("status"),
+        )
+
+    def summary(self) -> DataFrame:
+        """One row per check with its violation count — the report header a
+        reconciliation run prints first. Each count is a tiny aggregate over
+        an already-distributed check."""
+        checks = {
+            "count_diff_grains": self.row_counts(None).filter("status != 'MATCH'"),
+            "keys_missing": self.key_diff(),
+            "duplicate_keys": self.duplicate_keys(),
+            "row_hash_diffs": self.row_hash_diff(),
+            "cell_diffs": self.cell_diff(),
+            "fingerprint_diffs": self.fingerprints().filter("status != 'MATCH'"),
+        }
+        parts = [
+            df.agg(F.count("*").alias("violations")).select(
+                F.lit(name).alias("check"), "violations"
+            )
+            for name, df in checks.items()
+        ]
+        report = reduce(lambda a, b: a.unionByName(b), parts)
+        return report.withColumn(
+            "status", F.when(F.col("violations") == 0, "MATCH").otherwise("DIFF")
+        )
+
+
+@query("recon_api_summary", oracle=None)
+def recon_api_summary(spark, sf_dir: str) -> DataFrame:
+    """The generic ReconPair API run end-to-end on the standard faulty pair:
+    the one-call reconciliation report a user of the reference gets. Exact
+    violation counts are asserted by tests/test_recon_api.py (metamorphic
+    gate); rows-only here because the summary unions six sub-checks whose
+    SQL transliteration would just duplicate the per-check oracles."""
+    from .recon import orders_target
+
+    orders = load(spark, sf_dir, "orders")
+    pair = ReconPair(
+        source=orders,
+        target=orders_target(orders, faulty=True),
+        keys=["o_orderkey"],
+        compare_cols={
+            "o_custkey": "int",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderdate": "ts",
+            "o_orderpriority": "string",
+        },
+        tolerance=0.5,
+    )
+    return pair.summary()

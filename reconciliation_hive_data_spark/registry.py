@@ -38,6 +38,7 @@ _MODULES = (
     "reconciliation_hive_data_spark.operators.setops",
     "reconciliation_hive_data_spark.functions.scalars",
     "reconciliation_hive_data_spark.plans.recon",
+    "reconciliation_hive_data_spark.plans.api",
     "reconciliation_hive_data_spark.plans.llm",
     "reconciliation_hive_data_spark.streaming.stream_ops",
     "reconciliation_hive_data_spark.udfs",
