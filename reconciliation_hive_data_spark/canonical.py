@@ -22,9 +22,14 @@ nondeterminism have to be engineered away once, here, and reused everywhere:
    casts of arbitrary reals do not either. Hence: **always scale 6, only on
    money-class values.**
 
-2. **Binary float → text.** Default double→string differs between engines.
-   Canonical serialization uses printf-style fixed decimals (`%.4f`), which
-   agrees across Java/C for the same double (again: no exact midpoints).
+2. **Binary float → text.** Default double→string differs between engines,
+   and printf `%.kf` differs too when the value's true decimal form ends
+   exactly on a k-dp midpoint (Java rounds the shortest repr HALF_UP, C
+   rounds the exact binary — caught by tests/test_canonical_fuzz.py on
+   2.000050). Canonical serialization therefore routes doubles through
+   DECIMAL(28,6) and prints the fixed-scale decimal: both engines recover
+   the identical decimal for money-class values, and decimal→string is
+   trailing-zero-stable on both.
 
 3. **Timestamps.** Fixtures mix ms (orders/lineitem) and ns (events)
    precision; Spark and DuckDB both truncate ns→µs for positive epochs, so
@@ -43,8 +48,6 @@ from pyspark.sql import functions as F
 #: Unit separator / null sentinel for canonical row serialization.
 SEP = "␟"
 NULL = "␀"
-
-DOUBLE_FMT = "%.4f"
 
 
 # ---------------------------------------------------------------------------
@@ -104,7 +107,8 @@ def _canon_col(name: str, kind: str) -> Column:
     if kind == "int":
         s = c.cast("string")
     elif kind == "double":
-        s = F.format_string(DOUBLE_FMT, c.cast("double"))
+        # decimal-routed, NOT printf: see module docstring hazard #2
+        s = (c.cast("double") + 0.0).cast(f"decimal(28,{MONEY_SCALE})").cast("string")
     elif kind == "ts":
         s = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
     elif kind == "string":
@@ -118,7 +122,7 @@ def _canon_sql(name: str, kind: str) -> str:
     if kind == "int":
         s = f"CAST({name} AS VARCHAR)"
     elif kind == "double":
-        s = f"printf('{DOUBLE_FMT}', CAST({name} AS DOUBLE))"
+        s = f"CAST(CAST(CAST({name} AS DOUBLE) + 0.0 AS DECIMAL(28,{MONEY_SCALE})) AS VARCHAR)"
     elif kind == "ts":
         s = f"strftime({name}, '%Y-%m-%d %H:%M:%S')"
     elif kind == "string":

@@ -377,8 +377,8 @@ def recon_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CELLDIFF_ORACLE = ORDERS_TGT_CTE + """
 , j AS (
   SELECT s.o_orderkey AS k,
-         printf('%.4f', s.o_totalprice) AS s_price,
-         printf('%.4f', t.o_totalprice) AS t_price,
+         CAST(CAST(s.o_totalprice AS DECIMAL(28,6)) AS VARCHAR) AS s_price,
+         CAST(CAST(t.o_totalprice AS DECIMAL(28,6)) AS VARCHAR) AS t_price,
          s.o_orderpriority AS s_prio, t.o_orderpriority AS t_prio
   FROM orders s JOIN (SELECT DISTINCT * FROM orders_tgt) t
     ON s.o_orderkey = t.o_orderkey
@@ -405,8 +405,8 @@ def recon_celldiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tgt.alias("t"), F.col("s.o_orderkey") == F.col("t.o_orderkey"))
         .select(
             F.col("s.o_orderkey").alias("k"),
-            F.format_string("%.4f", F.col("s.o_totalprice")).alias("s_price"),
-            F.format_string("%.4f", F.col("t.o_totalprice")).alias("t_price"),
+            F.col("s.o_totalprice").cast("decimal(28,6)").cast("string").alias("s_price"),
+            F.col("t.o_totalprice").cast("decimal(28,6)").cast("string").alias("t_price"),
             F.col("s.o_orderpriority").alias("s_prio"),
             F.col("t.o_orderpriority").alias("t_prio"),
         )

@@ -76,9 +76,15 @@ def test_api_on_second_table(spark, sf_dir):
         compare_cols={"l_quantity": "double", "l_returnflag": "string"},
     )
     missing = pair.key_diff()
-    assert missing.filter("side = 'MISSING_IN_TARGET'").count() == li.filter(
-        (F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1)
-    ).count()
+    # (l_orderkey, l_linenumber) is not unique in the synthetic lineitem, so
+    # compare against DISTINCT dropped keys, not dropped rows
+    expected = (
+        li.filter((F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1))
+        .select("l_orderkey", "l_linenumber")
+        .distinct()
+        .count()
+    )
+    assert missing.filter("side = 'MISSING_IN_TARGET'").count() == expected
     assert missing.filter("side = 'MISSING_IN_SOURCE'").count() == 0
 
 
