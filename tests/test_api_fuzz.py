@@ -1,0 +1,87 @@
+"""Property-based fault-injection fuzz for the ReconPair API: inject a
+random combination of faults (drops, duplicates, value drift, nulls) at
+random key residues, then assert the reconciliation reports recover the
+exact injected fault sets — no more, no fewer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from reconciliation_hive_data_spark.catalog import load
+from reconciliation_hive_data_spark.plans.api import ReconPair
+
+MOD = 100
+
+
+@st.composite
+def fault_plan(draw):
+    residues = st.integers(min_value=0, max_value=MOD - 1)
+    drop = draw(residues)
+    dup = draw(residues.filter(lambda r: r != drop))
+    drift = draw(residues.filter(lambda r: r not in (drop, dup)))
+    null = draw(residues.filter(lambda r: r not in (drop, dup, drift)))
+    return drop, dup, drift, null
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=fault_plan())
+def test_injected_faults_recovered_exactly(spark, sf_dir, plan):
+    drop, dup, drift, null = plan
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+
+    tgt = orders.filter(key % MOD != drop).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(key % MOD == drift, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        F.when(key % MOD == null, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    tgt = tgt.unionByName(tgt.filter(key % MOD == dup))
+
+    pair = ReconPair(
+        source=orders,
+        target=tgt,
+        keys=["o_orderkey"],
+        compare_cols={
+            "o_totalprice": "double",
+            "o_orderpriority": "string",
+        },
+        tolerance=1.0,
+    )
+
+    def keys_with_residue(r: int) -> set[int]:
+        return {
+            row.o_orderkey
+            for row in orders.filter(key % MOD == r).select("o_orderkey").collect()
+        }
+
+    missing = {
+        r.o_orderkey
+        for r in pair.key_diff().filter("side = 'MISSING_IN_TARGET'").collect()
+    }
+    assert missing == keys_with_residue(drop)
+
+    dups = {r.o_orderkey for r in pair.duplicate_keys().collect()}
+    assert dups == keys_with_residue(dup)
+
+    cells = pair.cell_diff().collect()
+    assert {r.o_orderkey for r in cells if r.col_name == "o_totalprice"} == (
+        keys_with_residue(drift)
+    )
+    assert {r.o_orderkey for r in cells if r.col_name == "o_orderpriority"} == (
+        keys_with_residue(null)
+    )
