@@ -60,7 +60,14 @@ def documents_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = d.filter(F.col("doc_id") % 50 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1000000
     )
-    return d.unionByName(extra)
+    # The fixture is one single-row-group file ⇒ the scan is one task, and
+    # every narrow op downstream (shingling, 8-way hash explode) would run
+    # on one core until the first shuffle. Spread the tiny doc set across
+    # the cluster first; at real scale the input arrives multi-file and this
+    # repartition collapses to a cheap rebalance of small-file skew.
+    return d.unionByName(extra).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
 
 def embeddings_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
