@@ -819,6 +819,39 @@ def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x_text_tokcount — whitespace + BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+_TOKCOUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9 ]'))
+            AS BIGINT) AS bpe_ish_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS char_estimate
+FROM documents
+"""
+
+
+@query("x_text_tokcount", oracle=_TOKCOUNT_ORACLE)
+def x_text_tokcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace tokens, a BPE-ish regex
+    (sub-word chunks of ≤4 letters, digits, punctuation — the pre-tokenizer
+    shape real BPE vocabularies induce), and the chars/4 rule of thumb.
+    The budget arithmetic behind every pretraining data mix."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9 ]', 0)")
+        )
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("char_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # x_text_fingerprint — rolling-hash (winnowing-lite) fingerprint
 # ---------------------------------------------------------------------------
 
