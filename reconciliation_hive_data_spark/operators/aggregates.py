@@ -13,7 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..canonical import (
-    dround,
     money_avg,
     money_avg_sql,
     money_sum,

@@ -31,7 +31,7 @@ anti/inner join — the shapes that hold at 100 TB (SURVEY.md §7.3.7).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame

@@ -26,7 +26,6 @@ from ..canonical import (
     canonical_row_hash,
     canonical_row_hash_sql,
     dround,
-    dround_sql,
     money_sum,
     money_sum_sql,
 )

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, table_path
+from ..catalog import load
 from ..registry import query
 
 _EVENTS_RAW_SCHEMA = (

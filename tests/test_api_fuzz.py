@@ -6,7 +6,6 @@ exact injected fault sets — no more, no fewer.
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

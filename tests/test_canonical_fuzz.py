@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import duckdb
 import pandas as pd
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
