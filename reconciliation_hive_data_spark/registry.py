@@ -29,7 +29,7 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 _MODULES = (
-    "reconciliation_hive_data_spark.operators.scans",
+    "reconciliation_hive_data_spark.sources.files",
     "reconciliation_hive_data_spark.operators.filters",
     "reconciliation_hive_data_spark.operators.joins",
     "reconciliation_hive_data_spark.operators.aggregates",

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from reconciliation_hive_data_spark.catalog import load
 from reconciliation_hive_data_spark.operators.joins import join_anti, join_broadcast
-from reconciliation_hive_data_spark.operators.scans import scan_pruned
+from reconciliation_hive_data_spark.sources.files import scan_pruned
 
 
 def plan(df) -> str:
