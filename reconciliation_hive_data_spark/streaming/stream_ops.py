@@ -77,6 +77,21 @@ def _run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return stream_df.sparkSession.table(table)
 
 
+def _run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    global _counter
+    _counter += 1
+    table = f"{name}_{_counter}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table)
+
+
 # ---------------------------------------------------------------------------
 # src_stream — stream source replay == batch scan
 # ---------------------------------------------------------------------------
@@ -293,6 +308,72 @@ def s_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
     return _run_to_memory(agg, "s_stream_static")
+
+
+# ---------------------------------------------------------------------------
+# s_stateful_custom — applyInPandasWithState custom stateful operator
+# ---------------------------------------------------------------------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(MAX(value) AS DOUBLE) AS max_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+@query("s_stateful_custom", oracle=_STATEFUL_ORACLE)
+def s_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user accumulator (count, max, exact decimal sum) carried in
+    GroupState across micro-batches. The replay covers the whole fixture, so
+    on completion the state equals the batch aggregate — giving the custom
+    state path a full oracle. The exact-sum discipline carries into Python:
+    values are accumulated as integer micro-units (value × 10⁶, exact for
+    the 2-dp fixture domain), mirroring canonical.money_sum."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def track(key, pdfs, state: GroupState):
+        n, mx, total_u = state.get if state.exists else (0, float("-inf"), 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                total_u += int(
+                    sum(int(round(v * 1_000_000)) for v in pdf["value"])
+                )
+        state.update((n, mx, total_u))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "sum_value": [total_u / 1_000_000.0],
+            }
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n_events bigint, max_value double,"
+        " sum_value double",
+        stateStructType="n bigint, mx double, total_u bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sunk = _run_update_to_memory(out, "s_stateful_custom")
+    # update-mode emits one row per (user, batch); keep each user's final row
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )
 
 
 # ---------------------------------------------------------------------------
