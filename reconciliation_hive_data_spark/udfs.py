@@ -112,6 +112,45 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# udtf_lateral — true Python UDTF (table function, Spark 4)
+# ---------------------------------------------------------------------------
+
+_UDTF_LATERAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+)
+SELECT doc_id, CAST(pos AS INT) AS pos, tok, CAST(length(tok) AS INT) AS tok_len
+FROM toks WHERE length(tok) >= 6
+"""
+
+
+@query("udtf_lateral", oracle=_UDTF_LATERAL_ORACLE)
+def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → many output rows via a
+    LATERAL join — the Spark 4 extension point for custom generators. This
+    one emits (pos, token, len) for long tokens; semantics deliberately
+    SQL-expressible so even the UDTF path is oracle-checked."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string, tok_len int")
+    class LongTokens:
+        def eval(self, text: str):
+            for pos, tok in enumerate((text or "").split(" ")):
+                if len(tok) >= 6:
+                    yield pos, tok, len(tok)
+
+    spark.udtf.register("long_tokens", LongTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.tok, t.tok_len "
+        "FROM documents d, LATERAL long_tokens(d.text) t"
+    )
+
+
+# ---------------------------------------------------------------------------
 # udtf_apply — grouped map (applyInPandas) sessionization
 # ---------------------------------------------------------------------------
 
