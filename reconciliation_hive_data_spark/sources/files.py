@@ -68,12 +68,18 @@ def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("scan_csv_json", oracle=None)
+_CSV_JSON_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey, n_name AS j_name FROM nation
+"""
+
+
+@query("scan_csv_json", oracle=_CSV_JSON_ORACLE)
 def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV + JSON ingest with explicit schemas: write nation out in both
     text formats, read back with `spark.read.schema(...)`, and join the two
-    read-backs — proving schema-applied text ingest round-trips. Rows-only:
-    the oracle can't see the temp files."""
+    read-backs — proving schema-applied text ingest round-trips. The temp
+    files are invisible to the oracle, but the round-trip RESULT is exactly
+    the nation table — so the check is full-oracle anyway."""
     n = load(spark, sf_dir, "nation")
     csv_dir = _sink_dir(sf_dir, "nation_csv")
     json_dir = _sink_dir(sf_dir, "nation_json")
@@ -94,13 +100,19 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("scan_hive", oracle=None)
+_SCAN_HIVE_ORACLE = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@query("scan_hive", oracle=_SCAN_HIVE_ORACLE)
 def scan_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog round trip: saveAsTable → spark.read.table — the
     metastore-backed access path the reference's DESCRIBE-driven query
     generation relies on. Works against the session's catalog (embedded
-    Derby metastore when Hive support is enabled, in-memory otherwise);
-    rows-only: the side effect lives outside the oracle's view."""
+    Derby metastore when Hive support is enabled, in-memory otherwise); the
+    catalog round trip must hand back exactly the region table, which is
+    what the oracle checks."""
     import shutil
 
     r = load(spark, sf_dir, "region")
@@ -122,10 +134,28 @@ def scan_hive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("sink_parquet", oracle=None)
+_SINK_PARQUET_ORACLE = """
+WITH gross AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS line_total
+  FROM lineitem GROUP BY l_orderkey
+),
+report AS (
+  SELECT CASE WHEN g.line_total IS NULL THEN 'MISSING_IN_LINEITEM'
+              WHEN ABS(o.o_totalprice - g.line_total) <= 0.01 THEN 'MATCH'
+              ELSE 'VALUE_DIFF' END AS status
+  FROM orders o FULL OUTER JOIN gross g ON o.o_orderkey = g.l_orderkey
+)
+SELECT status, COUNT(*) AS n FROM report GROUP BY status
+"""
+
+
+@query("sink_parquet", oracle=_SINK_PARQUET_ORACLE)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parquet sink round trip for a report table (the flagship recon
-    output persisted, re-read, re-aggregated)."""
+    """Parquet sink round trip for a report table: the flagship recon
+    output persisted, re-read, re-aggregated — and the re-aggregation must
+    equal the oracle's direct computation (full write/read fidelity)."""
     from ..plans.recon import recon_order_totals
 
     out = _sink_dir(sf_dir, "order_totals_report")
@@ -142,11 +172,19 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("sink_partitioned", oracle=None)
+_SINK_PART_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+"""
+
+
+@query("sink_partitioned", oracle=_SINK_PART_ORACLE)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """partitionBy write (key=value directories — the reference's
     reconciliation drill-down unit) and a partition-pruned read-back:
-    the filter on the partition column prunes directories, not rows."""
+    the filter on the partition column prunes directories, not rows; the
+    pruned read-back must equal the direct filtered aggregate (oracle)."""
     out = _sink_dir(sf_dir, "lineitem_by_flag")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"

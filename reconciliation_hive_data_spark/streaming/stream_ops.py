@@ -5,8 +5,8 @@ Pattern: every stream runs the events fixture through
 stream processes the whole fixture as micro-batches, then stops), and the
 returned DataFrame is the sink table — so the driver's oracle compares the
 STREAM's output against the equivalent batch SQL (the "batch twin",
-SURVEY.md §3.4). Watermark/stateful-dedup outputs depend on micro-batch
-timing ⇒ rows-only by design.
+SURVEY.md §3.4). Only the watermark op stays rows-only: which windows are
+finalized in append mode depends on micro-batch timing.
 
 At scale these are the same queries against Kafka/file sources: state lives
 in the per-partition StateStore, watermarks bound it, and the memory sink
@@ -267,11 +267,18 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("s_dedup_state", oracle=None)
+_DEDUP_STATE_ORACLE = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+"""
+
+
+@query("s_dedup_state", oracle=_DEDUP_STATE_ORACLE)
 def s_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful dropDuplicates across micro-batches: first occurrence per
     event_id wins, dedup state bounded by the watermark. Duplicates are
-    injected by unioning a shifted copy of the stream."""
+    injected by unioning the stream with itself; deduplication must recover
+    exactly the distinct event set (the oracle's batch COUNT DISTINCT)."""
     s = _events_stream(spark, sf_dir)
     dup = s.unionByName(s)  # every event twice across the replay
     dedup = (
@@ -381,11 +388,16 @@ def s_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("s_foreachbatch", oracle=None)
+_FOREACHBATCH_ORACLE = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@query("s_foreachbatch", oracle=_FOREACHBATCH_ORACLE)
 def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch sink: each micro-batch appends to parquet under a
-    checkpointed query — the exactly-once-ish production sink pattern.
-    Returns the re-read output."""
+    checkpointed query — the exactly-once-ish production sink pattern. The
+    re-read output must carry every event exactly once (batch oracle)."""
     import shutil
 
     tag = os.path.basename(sf_dir.rstrip("/"))
