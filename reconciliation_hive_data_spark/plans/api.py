@@ -37,7 +37,12 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..canonical import canonical_row_hash, dround, money_sum
+from ..canonical import (
+    canonical_row_hash,
+    canonical_row_hash_sql,
+    dround,
+    money_sum,
+)
 from ..catalog import load
 from ..registry import query
 
@@ -231,13 +236,103 @@ class ReconPair:
         )
 
 
-@query("recon_api_summary", oracle=None)
+def _summary_oracle() -> str:
+    """SQL twin of ReconPair.summary() on the standard faulty pair: every
+    check transliterated honestly (no key-arithmetic shortcuts), so the
+    composite API itself is hash-checked end-to-end."""
+    from .recon import ORDERS_TGT_CTE, _ORDER_HASH_COLS
+
+    hash_sql = canonical_row_hash_sql(_ORDER_HASH_COLS)
+    fp_metrics = """
+      SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m1,
+             CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS m2,
+             CAST(SUM(CAST(o_custkey AS DECIMAL(18,6))) AS DOUBLE) AS m3,
+             CAST(MIN(o_custkey) AS DOUBLE) AS m4,
+             CAST(MAX(o_custkey) AS DOUBLE) AS m5,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m6,
+             CAST(COUNT(DISTINCT o_orderstatus) AS DOUBLE) AS m7,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m8,
+             CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) AS m9,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS m10,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS m11,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS m12,
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m13,
+             CAST(COUNT(DISTINCT o_orderdate) AS DOUBLE) AS m14,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS m15,
+             CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS m16
+      FROM {side}
+    """
+    diff_terms = " + ".join(
+        f"(CASE WHEN ABS(s.{m} - t.{m}) >= 1e-9 THEN 1 ELSE 0 END)"
+        for m in ["row_count"] + [f"m{i}" for i in range(1, 17)]
+    )
+    return (
+        ORDERS_TGT_CTE
+        + f"""
+, tgt_dedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderkey) rn
+    FROM orders_tgt
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM orders) = (SELECT COUNT(*) FROM orders_tgt)
+              THEN 0 ELSE 1 END AS v
+),
+missing AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders
+                                EXCEPT SELECT DISTINCT o_orderkey FROM orders_tgt))
+       + (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders_tgt
+                                EXCEPT SELECT DISTINCT o_orderkey FROM orders)) AS v
+),
+dups AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                GROUP BY o_orderkey HAVING COUNT(*) > 1))
+       + (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders_tgt
+                                GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS v
+),
+sh AS (SELECT o_orderkey, {hash_sql} AS h FROM orders),
+th AS (SELECT DISTINCT o_orderkey, {hash_sql} AS h FROM orders_tgt),
+rowhash AS (
+  SELECT COUNT(*) AS v FROM sh JOIN th ON sh.o_orderkey = th.o_orderkey
+  WHERE sh.h <> th.h
+),
+cells AS (
+  SELECT
+    SUM(CASE WHEN s.o_custkey IS DISTINCT FROM t.o_custkey THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
+              AND NOT (ABS(s.o_totalprice - t.o_totalprice) <= 0.5) THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN s.o_orderdate IS DISTINCT FROM t.o_orderdate THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN s.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 1 ELSE 0 END)
+    AS v
+  FROM orders s JOIN tgt_dedup t ON s.o_orderkey = t.o_orderkey
+),
+sfp AS ({fp_metrics.format(side='orders')}),
+tfp AS ({fp_metrics.format(side='orders_tgt')}),
+fp AS (SELECT {diff_terms} AS v FROM sfp s CROSS JOIN tfp t)
+SELECT "check", CAST(violations AS BIGINT) AS violations,
+       CASE WHEN violations = 0 THEN 'MATCH' ELSE 'DIFF' END AS status
+FROM (
+  SELECT 'count_diff_grains' AS "check", v AS violations FROM counts
+  UNION ALL SELECT 'keys_missing', v FROM missing
+  UNION ALL SELECT 'duplicate_keys', v FROM dups
+  UNION ALL SELECT 'row_hash_diffs', v FROM rowhash
+  UNION ALL SELECT 'cell_diffs', v FROM cells
+  UNION ALL SELECT 'fingerprint_diffs', v FROM fp
+)
+"""
+    )
+
+
+@query("recon_api_summary", oracle=_summary_oracle())
 def recon_api_summary(spark, sf_dir: str) -> DataFrame:
     """The generic ReconPair API run end-to-end on the standard faulty pair:
-    the one-call reconciliation report a user of the reference gets. Exact
-    violation counts are asserted by tests/test_recon_api.py (metamorphic
-    gate); rows-only here because the summary unions six sub-checks whose
-    SQL transliteration would just duplicate the per-check oracles."""
+    the one-call reconciliation report a user of the reference gets. The
+    oracle transliterates all six checks, so even the composite is
+    hash-verified; exact per-fault-class counts are additionally asserted by
+    tests/test_recon_api.py."""
     from .recon import orders_target
 
     orders = load(spark, sf_dir, "orders")
