@@ -30,6 +30,29 @@ _EVENTS_RAW_SCHEMA = (
 
 _counter = 0
 
+#: State-store partition count for the fixture-scale replays. Streaming
+#: state cost scales with partition count (one state dir + commit per
+#: partition per batch), and 150 users don't need 32 of them — measured 2×
+#: on the bench. At production scale this is sized to key cardinality ×
+#: throughput, not left at the batch shuffle default.
+_STREAM_STATE_PARTITIONS = "8"
+
+
+class _stream_conf:
+    """Scoped spark.sql.shuffle.partitions override for a stream run (the
+    first checkpoint freezes the query's state partitioning)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns timestamps read as int64 and
@@ -51,14 +74,15 @@ def _run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     global _counter
     _counter += 1
     table = f"{name}_{_counter}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(table)
 
 
@@ -66,14 +90,15 @@ def _run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     global _counter
     _counter += 1
     table = f"{name}_{_counter}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(table)
 
 
@@ -81,14 +106,15 @@ def _run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     global _counter
     _counter += 1
     table = f"{name}_{_counter}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream_df.sparkSession.table(table)
 
 
@@ -411,13 +437,14 @@ def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     def write_batch(df: DataFrame, epoch_id: int) -> None:
         df.write.mode("append").parquet(out)
 
-    q = (
-        s.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_conf(spark):
+        q = (
+            s.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
