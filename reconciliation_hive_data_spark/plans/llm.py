@@ -900,6 +900,61 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x_corpus_clean — composed cleaning pipeline (quality gate → exact dedup)
+# ---------------------------------------------------------------------------
+
+_CORPUS_CLEAN_ORACLE = DOCS_DUP_CTE + """
+, scored AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents_dup
+),
+gated AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 10 AND ttr >= 0.3 AND length(text) = n_chars
+),
+dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, lang, source, n_tokens, ROUND(ttr, 6) AS ttr
+FROM dedup WHERE rn = 1
+"""
+
+
+@query("x_corpus_clean", oracle=_CORPUS_CLEAN_ORACLE)
+def x_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline the individual operators exist
+    for: quality gate (min tokens, type/token ratio, metadata consistency) →
+    exact dedup (min-doc_id survivor per content hash) → surviving corpus.
+    Single declarative plan: the gate is a pushable filter, the dedup one
+    shuffle on the 16-byte content hash — at 100 TB this IS the shape of a
+    cleaning run, with near-dup banding (x_dedup_near) slotted between the
+    gate and the exact dedup."""
+    d = documents_dup(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    gated = (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("ttr", ttr)
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("ttr") >= 0.3)
+            & (F.length("text") == F.col("n_chars"))
+        )
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "lang", "source", "n_tokens", F.round("ttr", 6).alias("ttr"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # x_multimodal — per-label embedding centroid (typed-array column ops)
 # ---------------------------------------------------------------------------
 
