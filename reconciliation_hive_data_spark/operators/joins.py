@@ -4,8 +4,9 @@ Scale notes per operator: fact⋈fact joins (orders⋈lineitem) shuffle on the
 join key and rely on AQE skew handling; fact⋈dim joins broadcast the dim
 explicitly (`F.broadcast`) — at 100 TB the dims here (region/nation/part/
 supplier/customer) stay orders of magnitude smaller than the facts. The
-as-of join is a range join + per-left-row top-1; its scale path is
-bucketing both sides by user_id so the range search never crosses executors.
+as-of join is the linear union+window formulation (no join node at all);
+the banded self join equi-joins on a composite (user_id, time-bucket) key
+so the band filter only ever sees a bounded candidate window.
 """
 
 from __future__ import annotations
@@ -193,32 +194,40 @@ ASOF JOIN (SELECT * FROM events WHERE event_type <> 'purchase') e
 @query("join_asof", oracle=_ASOF_ORACLE)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase, the latest earlier non-purchase event
-    by the same user. Spark lacks a native as-of join; the composition is a
-    user-partitioned range join + top-1 per left row (row_number over ts
-    desc). DuckDB's native ASOF JOIN is the oracle — a genuine cross-engine
-    semantic check. Scale path: pre-bucket both sides by user_id so the
-    range search is executor-local."""
+    by the same user. Spark lacks a native as-of join; instead of the naive
+    range join + top-1 (candidates = O(purchases × events-per-user), a
+    blowup at long per-user histories), both sides go through ONE ts-ordered
+    window per user: tag each row purchase/event, sort by (ts, side), and
+    carry the last non-null event forward with ``last(..., ignorenulls)``
+    over ``rowsBetween(unboundedPreceding, -1)``. Strictly linear — one
+    shuffle on user_id, no join at all. Purchases sort before events at
+    equal ts so the `e.ts < p.ts` strict inequality holds. DuckDB's native
+    ASOF JOIN is the oracle — a genuine cross-engine semantic check."""
     ev = load(spark, sf_dir, "events")
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id"),
-        F.col("ts").alias("p_ts"),
+    is_p = F.col("event_type") == "purchase"
+    u = ev.select(
+        "user_id",
+        "ts",
+        # at equal ts the purchase (0) sorts before the event (1), so an
+        # event with ts == purchase ts is outside the purchase's frame
+        F.when(is_p, F.lit(0)).otherwise(F.lit(1)).alias("side"),
+        F.when(is_p, F.col("event_id")).alias("purchase_id"),
+        F.when(~is_p, F.col("event_id")).alias("ev_id"),
+        F.when(~is_p, F.col("event_type")).alias("ev_type"),
     )
-    e = ev.filter(F.col("event_type") != "purchase").select(
-        F.col("event_id").alias("prior_event_id"),
-        F.col("user_id").alias("e_user"),
-        F.col("event_type").alias("prior_type"),
-        F.col("ts").alias("e_ts"),
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.asc_nulls_first("ev_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    j = p.join(e, (p.user_id == e.e_user) & (e.e_ts < p.p_ts))
-    w = Window.partitionBy("purchase_id").orderBy(F.col("e_ts").desc())
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        u.withColumn("prior_event_id", F.last("ev_id", ignorenulls=True).over(w))
+        .withColumn("prior_type", F.last("ev_type", ignorenulls=True).over(w))
+        .filter(F.col("purchase_id").isNotNull() & F.col("prior_event_id").isNotNull())
         .select(
             "purchase_id",
             "user_id",
-            ts_str("p_ts", "purchase_ts"),
+            ts_str("ts", "purchase_ts"),
             "prior_event_id",
             "prior_type",
         )
@@ -282,13 +291,29 @@ FROM events a JOIN events b
 @query("join_self", oracle=_SELF_ORACLE)
 def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self join: pairs of events by the same user within 2 minutes —
-    pairwise-comparison shape used by dedup and sessionization."""
+    pairwise-comparison shape used by dedup and sessionization.
+
+    Scale shape: joining on user_id alone materializes ALL per-user pairs
+    before the ±2-minute band filter — quadratic in per-user history and
+    skewed. Instead the equi key is the composite (user_id, 2-minute time
+    bucket): the left side explodes into its own bucket and the successor
+    bucket (the band is forward-only and ≤ one bucket wide, so b's bucket
+    is a's or a's+1 — each qualifying pair matches exactly once, no dedup
+    needed), the join is a plain equi join on (user_id, bucket), and the
+    band predicate only ever sees candidates from a bounded 2-minute
+    window. Intermediate size is O(events per 2-minute bucket), not
+    O(events per user²)."""
     ev = load(spark, sf_dir, "events")
-    a = ev.alias("a")
-    b = ev.alias("b")
+    bucket = F.floor(F.unix_timestamp("ts") / F.lit(120))
+    a = (
+        ev.withColumn("jb", F.explode(F.array(bucket, bucket + 1)))
+        .alias("a")
+    )
+    b = ev.withColumn("jb", bucket).alias("b")
     return a.join(
         b,
         (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.jb") == F.col("b.jb"))
         & (F.col("b.ts") > F.col("a.ts"))
         & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 2 MINUTE"))
         & (F.col("a.event_id") != F.col("b.event_id")),

@@ -65,12 +65,28 @@ def test_lsh_candidate_join_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
-def test_asof_join_no_cartesian(spark, sf_dir):
-    """The as-of range join must keep its user_id equi component."""
+def test_asof_is_linear_window_not_join(spark, sf_dir):
+    """The as-of join is the union+window formulation: strictly linear, one
+    shuffle on user_id, NO join operator at all — a Join node here means the
+    quadratic range-join candidate generation crept back in."""
     from reconciliation_hive_data_spark.operators.joins import join_asof
 
     p = plan(join_asof(spark, sf_dir))
+    assert "Join" not in p
     assert "CartesianProduct" not in p
+    assert "Window" in p
+
+
+def test_self_join_has_composite_bucket_key(spark, sf_dir):
+    """join_self must equi-join on (user_id, time-bucket), never user_id
+    alone — the bare-user_id join materializes all per-user pairs before
+    the band filter."""
+    from reconciliation_hive_data_spark.operators.joins import join_self
+
+    p = plan(join_self(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "jb" in p  # the bucket column participates in the join key
 
 
 def test_flagship_uses_exact_decimal_sum(spark, sf_dir):
