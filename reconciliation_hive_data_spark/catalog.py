@@ -50,10 +50,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
         from pyspark.sql import functions as F
 
+        # Scope the legacy conf to this read: parquet schema inference is
+        # eager (footer read at .parquet() time), so restoring afterwards
+        # does not break later actions on the lazy DataFrame — and the
+        # nanos-as-long behavior no longer leaks into every subsequent
+        # parquet read on the shared session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -64,9 +64,13 @@ class ReconPair:
         for col, kind in self.compare_cols.items():
             if kind not in _KINDS:
                 raise ValueError(f"{col}: unknown kind {kind!r}; use one of {_KINDS}")
-        missing = [c for c in [*self.keys, *self.compare_cols] if c not in self.source.columns]
+        wanted = [*self.keys, *self.compare_cols]
+        missing = [c for c in wanted if c not in self.source.columns]
         if missing:
             raise ValueError(f"columns not in source: {missing}")
+        missing_t = [c for c in wanted if c not in self.target.columns]
+        if missing_t:
+            raise ValueError(f"columns not in target: {missing_t}")
 
     # -- helpers ----------------------------------------------------------
 
@@ -136,19 +140,37 @@ class ReconPair:
 
     def cell_diff(self) -> DataFrame:
         """One row per (key, differing column): src vs tgt canonical values.
-        Doubles respect ``tolerance``; everything else is null-safe exact."""
+        Doubles respect ``tolerance``; every comparison (tolerance or not)
+        is null-safe — a null on exactly one side always reports a diff.
+
+        Duplicate target keys are deduped DETERMINISTICALLY: the survivor is
+        the row with the smallest canonical row hash (total order within a
+        key group), not whatever partition ``dropDuplicates`` happens to see
+        first — so the reported src/tgt values are stable run-to-run and
+        reproducible in the SQL oracle."""
+        from pyspark.sql.window import Window
+
         key = self._key()
         s = self.source.alias("s")
-        t = self.target.dropDuplicates(key).alias("t")
+        w = Window.partitionBy(*key).orderBy(canonical_row_hash(self._hash_cols()))
+        t = (
+            self.target.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .alias("t")
+        )
         j = s.join(t, [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key])
 
         arms: list[Column] = []
         for col, kind in self.compare_cols.items():
             sc, tc = F.col(f"s.{col}"), F.col(f"t.{col}")
             if kind == "double" and self.tolerance > 0:
-                differs = ~(
-                    sc.eqNullSafe(tc)
-                    | (F.abs(sc - tc) <= F.lit(self.tolerance))
+                # Null-safe even with tolerance: |s - t| is NULL when either
+                # side is null, and TRUE|NULL / ~(FALSE|NULL) semantics would
+                # silently drop null-vs-value diffs. Split the null-mismatch
+                # arm out so it can never be eaten by a NULL comparison.
+                differs = (sc.isNull() != tc.isNull()) | (
+                    ~sc.eqNullSafe(tc) & (F.abs(sc - tc) > F.lit(self.tolerance))
                 )
             else:
                 differs = ~sc.eqNullSafe(tc)
@@ -271,8 +293,10 @@ def _summary_oracle() -> str:
         ORDERS_TGT_CTE
         + f"""
 , tgt_dedup AS (
+  -- deterministic survivor: smallest canonical row hash, mirroring
+  -- ReconPair.cell_diff's row_number-over-hash dedup exactly
   SELECT * FROM (
-    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY o_orderkey) rn
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY {hash_sql}) rn
     FROM orders_tgt
   ) WHERE rn = 1
 ),
@@ -302,8 +326,9 @@ cells AS (
   SELECT
     SUM(CASE WHEN s.o_custkey IS DISTINCT FROM t.o_custkey THEN 1 ELSE 0 END)
   + SUM(CASE WHEN s.o_orderstatus IS DISTINCT FROM t.o_orderstatus THEN 1 ELSE 0 END)
-  + SUM(CASE WHEN s.o_totalprice IS DISTINCT FROM t.o_totalprice
-              AND NOT (ABS(s.o_totalprice - t.o_totalprice) <= 0.5) THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN (s.o_totalprice IS NULL) <> (t.o_totalprice IS NULL)
+              OR (s.o_totalprice IS DISTINCT FROM t.o_totalprice
+                  AND ABS(s.o_totalprice - t.o_totalprice) > 0.5) THEN 1 ELSE 0 END)
   + SUM(CASE WHEN s.o_orderdate IS DISTINCT FROM t.o_orderdate THEN 1 ELSE 0 END)
   + SUM(CASE WHEN s.o_orderpriority IS DISTINCT FROM t.o_orderpriority THEN 1 ELSE 0 END)
     AS v

@@ -38,27 +38,44 @@ _counter = 0
 _STREAM_STATE_PARTITIONS = "8"
 
 
+#: Confs scoped to a stream run by :class:`_stream_conf`: state partition
+#: count (the first checkpoint freezes the query's state partitioning) and
+#: the nanos-as-long legacy parquet read (needed while micro-batches read
+#: the ns-timestamp events file; restored afterwards so it never leaks into
+#: later batch reads on the shared session).
+_STREAM_CONFS = {
+    "spark.sql.shuffle.partitions": _STREAM_STATE_PARTITIONS,
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
 class _stream_conf:
-    """Scoped spark.sql.shuffle.partitions override for a stream run (the
-    first checkpoint freezes the query's state partitioning)."""
+    """Scoped session-conf overrides for one stream run (set on enter,
+    restored to their prior values — or unset — on exit)."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
-        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", _STREAM_STATE_PARTITIONS)
+        self.saved = {k: self.spark.conf.get(k, None) for k in _STREAM_CONFS}
+        for k, v in _STREAM_CONFS.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        for k, prev in self.saved.items():
+            if prev is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, prev)
         return False
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ns timestamps read as int64 and
     truncated to µs — same normalization as the batch path in catalog.load,
-    so stream and batch twin see identical values)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    so stream and batch twin see identical values). The explicit schema
+    means no footer inference happens here; the nanos-as-long conf is
+    applied by :class:`_stream_conf` around the actual micro-batch run."""
     # the file stream source wants a directory; glob-filter to the one table
     raw = (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)

@@ -80,10 +80,15 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _UDAF_ORACLE = """
 SELECT o_orderstatus,
-       CAST(ROUND(CAST(
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-           - MIN(o_totalprice) - MAX(o_totalprice)
-         AS DECIMAL(28,6)) / (COUNT(*) - 2), 4) AS DOUBLE) AS trimmed_mean
+       CASE WHEN COUNT(*) > 2 THEN
+         CAST(ROUND(CAST(
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+             - MIN(o_totalprice) - MAX(o_totalprice)
+           AS DECIMAL(28,6)) / (COUNT(*) - 2), 4) AS DOUBLE)
+       ELSE
+         CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+           AS DOUBLE) AS DECIMAL(28,6)) / COUNT(*), 4) AS DOUBLE)
+       END AS trimmed_mean
 FROM orders GROUP BY o_orderstatus
 """
 
@@ -93,15 +98,23 @@ def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF: mean with one min and one max dropped.
     math.fsum keeps the Python-side sum exact regardless of the partition
     order Spark feeds the group in — matching the oracle's exact decimal
-    arithmetic (same determinism rule as canonical.money_sum)."""
+    arithmetic (same determinism rule as canonical.money_sum). Rounding is
+    ROUND_HALF_UP to match the oracle's half-away-from-zero DECIMAL ROUND
+    (banker's rounding would diverge on exact 4-dp midpoints); groups of
+    ≤2 rows fall back to the plain mean instead of dividing by zero."""
+    import decimal
 
     @F.pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
         vals = v.to_numpy()
-        total = math.fsum(vals) - vals.min() - vals.max()
+        if len(vals) > 2:
+            total = math.fsum(vals) - vals.min() - vals.max()
+            mean = total / (len(vals) - 2)
+        else:
+            mean = math.fsum(vals) / len(vals)
         return float(
-            __import__("decimal").Decimal(repr(total / (len(vals) - 2))).quantize(
-                __import__("decimal").Decimal("0.0001")
+            decimal.Decimal(repr(mean)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
             )
         )
 

@@ -84,3 +84,67 @@ def test_injected_faults_recovered_exactly(spark, sf_dir, plan):
     assert {r.o_orderkey for r in cells if r.col_name == "o_orderpriority"} == (
         keys_with_residue(null)
     )
+
+
+def test_null_double_with_tolerance_is_reported(spark, sf_dir):
+    """A null-vs-value mismatch in a double column must be reported even
+    when tolerance > 0: |s - t| is NULL when either side is null, and a
+    naive `~(eq | within_tol)` arm evaluates to NULL and silently drops the
+    row from cell_diff (and undercounts summary's cell_diffs)."""
+    import pytest
+
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    null_r = 7
+    tgt = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(key % MOD == null_r, F.lit(None).cast("double"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    expected = {
+        r.o_orderkey for r in orders.filter(key % MOD == null_r).collect()
+    }
+    assert expected, "fixture must contain keys at the chosen residue"
+
+    pair = ReconPair(
+        source=orders,
+        target=tgt,
+        keys=["o_orderkey"],
+        compare_cols={"o_totalprice": "double"},
+        tolerance=1.0,
+    )
+    assert {r.o_orderkey for r in pair.cell_diff().collect()} == expected
+
+    # symmetric: null on the SOURCE side must be reported too
+    swapped = ReconPair(
+        source=tgt,
+        target=orders,
+        keys=["o_orderkey"],
+        compare_cols={"o_totalprice": "double"},
+        tolerance=1.0,
+    )
+    assert {r.o_orderkey for r in swapped.cell_diff().collect()} == expected
+
+    # and summary()'s cell_diffs row counts them
+    n = (
+        pair.summary()
+        .filter("check = 'cell_diffs'")
+        .collect()[0]
+        .violations
+    )
+    assert n == len(expected)
+
+    # config errors: a compare column missing from the target is a clear
+    # ValueError at construction, not an AnalysisException mid-check
+    with pytest.raises(ValueError, match="not in target"):
+        ReconPair(
+            source=orders,
+            target=tgt.drop("o_totalprice"),
+            keys=["o_orderkey"],
+            compare_cols={"o_totalprice": "double"},
+        )
