@@ -216,57 +216,57 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     at n≥3)."""
     d = documents_dup(spark, sf_dir)
     toks = shingles3(d)
-    hashes = toks.select(
-        "doc_id",
-        "tok",
-        F.explode(F.sequence(F.lit(1), F.lit(8))).alias("i"),
-    ).select(
-        "doc_id",
-        "i",
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("tok"))), 1, 8
-        ).alias("h"),
+    # ALL 8 min-hashes + the shingle count in ONE groupBy(doc_id): each
+    # permutation is just a different min-aggregate over the same shingle
+    # rows, so there is no need to explode ×8 and shuffle (doc_id, i) pairs
+    # — one map-side-combining shuffle replaces the explode + two per-doc
+    # aggregations of the naive formulation, and the per-doc shingle count
+    # (needed for the Jaccard denominator) rides along for free.
+    base = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(1, 9)
+        ],
+        F.count("*").alias("n"),
     )
-    minh = hashes.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-    sigs = (
-        minh.withColumn("band", F.floor((F.col("i") - 1) / 2))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s.getField("mh"),
-                ),
-                "|",
-            ).alias("sig")
-        )
+    # band signatures built array-side from the 8 mh columns (4 bands × 2
+    # rows), then exploded to (doc_id, band, sig, n) — a narrow map
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws("|", f"mh{2 * b + 1}", f"mh{2 * b + 2}").alias("sig"),
+            )
+            for b in range(4)
+        ]
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    sigs = base.select("doc_id", "n", F.explode(band_arr).alias("bs")).select(
+        "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "band", "sig"
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "na", "doc_b", "nb")
         .distinct()
     )
-    tokn = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (
-        cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"]).groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("ninter"))
+        cands.join(ta, "doc_a").join(tb, ["doc_b", "tok"]).groupBy(
+            "doc_a", "doc_b", "na", "nb"
+        ).agg(F.count("*").alias("ninter"))
     )
-    na = tokn.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = tokn.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(j >= 0.5)
-        .select("doc_a", "doc_b", F.round(j, 6).alias("jaccard"))
+    return inter.filter(j >= 0.5).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -701,12 +701,16 @@ def x_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(dfreq, "term").select(
+    # N as a broadcast 1-row DataFrame, not a driver-side d.count(): the
+    # whole operator stays ONE lazy plan (no extra job, composable), and the
+    # corpus size rides along as a broadcast variable exactly like the SQL
+    # twin's CROSS JOIN n.
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "term",
         (
-            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+            F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
         ).alias("tfidf_raw"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_raw").desc(), F.col("term"))
