@@ -274,7 +274,10 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_dedup_simhash — 32-bit SimHash from md5 nibble sign bits
 # ---------------------------------------------------------------------------
 
-_SIMHASH_ORACLE = DOCS_DUP_CTE + """
+#: shared CTE chain computing per-doc 32-bit SimHash signatures (``sh``)
+#: from documents_dup — used by x_dedup_simhash here and the banded
+#: Hamming-neighborhood variant in plans/lsh_variants.py
+SIMHASH_SH_CTES = """
 , toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents_dup
 ),
@@ -291,45 +294,58 @@ sh AS (
               AS BIGINT) AS simhash
   FROM sums GROUP BY doc_id
 )
+"""
+
+_SIMHASH_ORACLE = DOCS_DUP_CTE + SIMHASH_SH_CTES + """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS simhash
 FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 """
 
 
+def simhash_from_tokens(toks: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit SimHash from (doc_id, tok) feature rows,
+    bit p = sign of the token-weight sum at p (weight ±1 from the top bit
+    of md5 hex digit p). The classic Charikar scheme re-derived from md5
+    for cross-engine determinism. The feature choice matters: unigram
+    tokens for equality grouping (x_dedup_simhash), 3-word shingles for
+    Hamming-neighborhood search (x_dedup_simhash_banded) — unigrams over a
+    small shared vocabulary put unrelated docs within small Hamming
+    distance of each other.
+
+    Shape: 32 conditional ±1 sums in ONE groupBy(doc_id) — a single
+    map-side-combining shuffle of the feature rows. The naive alternative
+    (explode each feature ×32 positions, then aggregate (doc_id, pos))
+    shuffles 32× the rows for identical results."""
+    hashed = toks.select("doc_id", F.md5("tok").alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", p + 1, 1).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{p}")
+            for p in range(32)
+        ]
+    )
+    sig = None
+    for p in range(32):
+        bit = F.when(F.col(f"s{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
 @query("x_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature where bit p is the sign of the
-    token-weight sum at p (weight ±1 from the top bit of md5 hex digit p).
-    Identical docs collide exactly; near-identical docs land within small
-    Hamming distance (the classic Charikar scheme, re-derived from md5 for
-    cross-engine determinism). Emits same-signature pairs."""
-    d = documents_dup(spark, sf_dir)
-    toks = tokens(d, distinct=True)
-    bits = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("pos"),
-        F.md5("tok").alias("h"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.when(
-            F.substring(F.col("h"), F.col("pos") + 1, 1).isin(
-                "8", "9", "a", "b", "c", "d", "e", "f"
-            ),
-            1,
-        )
-        .otherwise(-1)
-        .alias("w"),
-    )
-    sums = bits.groupBy("doc_id", "pos").agg(F.sum("w").alias("s"))
-    sh = sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
-            .otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
-    )
+    """SimHash near-dup: identical docs collide exactly; near-identical docs
+    land within small Hamming distance. Emits same-signature (Hamming-0)
+    pairs; the banded Hamming-≤3 neighborhood search is
+    x_dedup_simhash_banded (plans/lsh_variants.py)."""
+    sh = simhash_from_tokens(tokens(documents_dup(spark, sf_dir), distinct=True))
     a, b = sh.alias("a"), sh.alias("b")
     return a.join(
         b,
