@@ -1,0 +1,245 @@
+"""Scale-lever operators: the specific mechanics a 100 TB deployment leans
+on, each demonstrated as a named, oracle-checked query.
+
+- ``join_bucketed`` — co-located join via bucketed tables: both facts
+  written ``bucketBy`` the join key, so the join reads bucket-aligned
+  files and needs NO shuffle exchange on either side (plan-test-enforced).
+  At 100 TB this is the difference between re-shuffling 100 TB per join
+  and a metadata-only alignment.
+- ``agg_salted`` — two-phase salted aggregation for skewed keys:
+  l_returnflag has 3 distinct values, so a direct groupBy lands 600k rows
+  on 3 reducers; salting fans the partial aggregation out 16× and the
+  final re-aggregate touches only 3×16 partial rows. Exact-decimal sums
+  re-aggregate losslessly, so the result is bit-identical to the direct
+  plan.
+- ``s_stream_stream`` — stream-stream inner join (purchases ⋈ views within
+  6 h per user) with both sides replayed from the file source. Inner
+  stream-stream joins emit each match exactly once regardless of
+  micro-batch timing, so the full-replay result equals the batch twin and
+  stays hash-checkable. (Production adds watermarks to bound join state;
+  the fixture replay is finite so none are needed for correctness here.)
+- ``x_pack_sequences`` — LLM training sequence packing: documents greedily
+  packed into ≤2048-token bins per language via a running token count
+  (cumulative-sum binning). Packing runs inside (lang) blocks — the
+  blocking key bounds the window so there is no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..canonical import money_sum, money_sum_sql, ts_str
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# join_bucketed — co-located join on bucketed tables (no shuffle exchange)
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = f"""
+SELECT o.o_orderstatus AS o_orderstatus,
+       COUNT(*) AS n_lines,
+       {money_sum_sql('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@query("join_bucketed", oracle=_BUCKETED_ORACLE)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join with ZERO shuffle: both sides are written as tables
+    bucketed 8 ways on the join key (hash-partitioned at write time), so
+    the sort-merge join reads bucket-aligned files directly — the physical
+    plan has no Exchange on either join input (tests/test_plans.py). This
+    is the bucketing lever from SURVEY.md §4: at 100 TB the facts are
+    bucketed once at ingest and every subsequent key-join is
+    metadata-aligned instead of re-shuffling the table."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in ("rhds_orders_bkt", "rhds_lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(warehouse.removeprefix("file:") + f"/{t}", ignore_errors=True)
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("rhds_orders_bkt")
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("rhds_lineitem_bkt")
+    )
+    ob = spark.table("rhds_orders_bkt")
+    lb = spark.table("rhds_lineitem_bkt")
+    # merge hint: keep it a sort-merge join so the bucket alignment (not a
+    # broadcast) is what eliminates the exchanges
+    return (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_salted — two-phase salted aggregation for skewed keys
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       {money_sum_sql('l_quantity', 'sum_qty')},
+       {money_sum_sql('l_extendedprice', 'sum_price')}
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_salted", oracle=_SALTED_ORACLE)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: l_returnflag has 3 distinct values, so the
+    direct groupBy funnels the whole table through 3 reducers. Phase 1
+    aggregates on (l_returnflag, salt) with a 16-way salt (crc32 of the
+    row's orderkey — deterministic, no rand()), spreading each hot key
+    over 16 partitions; phase 2 re-aggregates the 3×16 partial rows.
+    Decimal partial sums re-aggregate exactly, so the output is
+    bit-identical to the direct plan — same oracle as a plain GROUP BY.
+    This is the manual form of AQE skew-join salting, usable where AQE
+    can't see the skew (first-shuffle aggregations)."""
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(16))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.count("*").alias("c"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("p"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n_rows"),
+        F.sum("q").cast("double").alias("sum_qty"),
+        F.sum("p").cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s_stream_stream — stream-stream inner band join
+# ---------------------------------------------------------------------------
+
+_STREAM_STREAM_ORACLE = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 6 HOUR
+"""
+
+
+@query("s_stream_stream", oracle=_STREAM_STREAM_ORACLE)
+def s_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's views
+    from the preceding 6 hours, both sides read as streams. Inner
+    stream-stream joins buffer both inputs in state and emit every match
+    exactly once whatever the micro-batch boundaries, so the full-replay
+    result equals the batch twin — the one stream-stream shape that stays
+    fully hash-checkable. Production bounds the state buffers with
+    watermarks + time-range conditions (the range condition here already
+    lets Spark evict views older than the 6 h horizon once a watermark is
+    present); the finite fixture replay needs none for correctness."""
+    from ..streaming.stream_ops import _events_stream, _run_append_to_memory
+
+    ev_p = _events_stream(spark, sf_dir)
+    ev_v = _events_stream(spark, sf_dir)
+    p = ev_p.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev_v.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    j = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        ts_str("p_ts", "purchase_ts"),
+        ts_str("v_ts", "view_ts"),
+    )
+    return _run_append_to_memory(j, "s_stream_stream")
+
+
+# ---------------------------------------------------------------------------
+# x_pack_sequences — LLM training sequence packing (cumsum binning)
+# ---------------------------------------------------------------------------
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM t
+)
+SELECT lang,
+       CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+FROM c GROUP BY lang, seq_id
+"""
+
+
+@query("x_pack_sequences", oracle=_PACK_ORACLE)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to ≤2048-token
+    training sequences by a running token count within each language
+    (cumulative-sum binning — the streaming-friendly, deterministic
+    approximation of bin packing: a doc starts a new sequence exactly when
+    the running total before it has crossed the next 2048 boundary).
+    Packing is windowed inside (lang) blocks, so the shuffle is one
+    partition-by-lang exchange — no global sort; at 100 TB the block key
+    becomes (lang, shard) to bound window width."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0)).cast("bigint"),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        )
+    )

@@ -48,10 +48,10 @@ _MODULES = (
     "reconciliation_hive_data_spark.operators.filters",
     "reconciliation_hive_data_spark.operators.sortlimit",
     "reconciliation_hive_data_spark.operators.setops",
-    # last on purpose: LSH variants (one new oracle-checked op + two
-    # rows-only MLlib twins) must not displace older queries from an
-    # early-stopping correctness sweep's budget window
+    # last on purpose: round-2 additions must not displace older queries
+    # from an early-stopping correctness sweep's budget window
     "reconciliation_hive_data_spark.plans.lsh_variants",
+    "reconciliation_hive_data_spark.plans.scale_ops",
 )
 
 _loaded = False

@@ -89,6 +89,29 @@ def test_self_join_has_composite_bucket_key(spark, sf_dir):
     assert "jb" in p  # the bucket column participates in the join key
 
 
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
+    """join_bucketed: both sides written bucketBy(8, key) ⇒ the sort-merge
+    join must read bucket-aligned files with NO shuffle exchange — a
+    hashpartitioning Exchange here means the bucketing metadata got lost
+    and the join re-shuffled both facts."""
+    from reconciliation_hive_data_spark.plans.scale_ops import join_bucketed
+
+    p = plan(join_bucketed(spark, sf_dir))
+    assert "SortMergeJoin" in p
+    join_part = p.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning" not in join_part
+
+
+def test_salted_agg_is_two_phase_on_salt(spark, sf_dir):
+    """agg_salted: the first aggregate must key on (flag, salt), the final
+    on flag alone — and results must be bit-identical to the direct agg."""
+    from reconciliation_hive_data_spark.plans.scale_ops import agg_salted
+
+    p = plan(agg_salted(spark, sf_dir))
+    assert "salt" in p
+    assert p.count("HashAggregate") >= 3  # partial+final per phase, fused
+
+
 def test_flagship_uses_exact_decimal_sum(spark, sf_dir):
     from reconciliation_hive_data_spark.plans.recon import recon_order_totals
 
