@@ -1,0 +1,397 @@
+"""Training-data pipeline operators, round 2: the cluster/selection layer
+that sits on top of the §2j dedup/similarity primitives.
+
+- ``x_dedup_clusters`` — connected components over duplicate *version
+  chains*: near-dup pairs only say "A~B"; a real dedup pass must resolve
+  transitive groups (A~B, B~C ⇒ {A,B,C} keep one). Implemented as
+  iterative min-label propagation over the edge list (the MapReduce CC
+  formulation); oracle = DuckDB ``WITH RECURSIVE`` transitive closure.
+- ``x_decontaminate`` — benchmark decontamination: flag training docs
+  sharing any 8-word-gram with a held-out eval set (the GPT-3/PaLM n-gram
+  overlap rule). The eval gram set is tiny ⇒ broadcast; cost is one
+  narrow gram explode over the corpus, no shuffle of raw text.
+- ``x_sample_stratified`` — deterministic per-stratum downsampling by md5
+  threshold: ``substr(md5(doc_id),1,8) < rate_hex(lang)``. Same-seed runs
+  are reproducible byte-for-byte on any cluster size (no RNG state), and
+  the kept set is a pure narrow filter — no shuffle at all.
+- ``x_text_pii`` — PII scrubbing (emails/phones → placeholder tokens) as
+  a narrow regexp map with a redaction count per doc. The fixture
+  deterministically injects PII derived from doc_id so the scrub provably
+  fires on every row (the synthetic corpus contains none).
+- ``x_domain_mix`` — temperature-weighted domain mixing (α = 0.5): per
+  source, token mass → sqrt-damped sampling weight → integer token
+  budget. The global normalizer is an exact sorted left-fold so the
+  double sum is order-independent cross-engine (canonical.py hazard #1).
+- ``agg_quantile`` — exact interpolated percentiles (p25/50/75) per group
+  via Spark ``percentile`` vs DuckDB ``quantile_cont`` — both engines
+  interpolate ``lower + (pos-⌊pos⌋)·(higher-lower)`` at ``pos=p·(n-1)``
+  in doubles, so results are bitwise-comparable.
+
+100 TB notes: CC iterations are equi-joins on the (small) label frontier,
+not the corpus — and the docstring documents the log-round alternation
+(large-star/small-star) for deep chains; decontamination broadcasts the
+eval grams (eval sets are KBs, corpora are TBs); stratified sampling and
+PII scrubbing are stateless narrow maps that never shuffle; domain-mix
+aggregates 20 rows after a map-side-combinable token count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load
+from ..registry import query
+from .llm import DOCS_DUP_CTE, documents_dup
+
+# ---------------------------------------------------------------------------
+# x_dedup_clusters — transitive duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+# Version-chain fixture: each doc_id % 50 == 0 gains TWO copies (+1M, +2M),
+# and edges link *consecutive versions* within an identical-text group, so
+# components are chains X — X+1M — X+2M of diameter 2 — min-label must
+# propagate transitively, not just pairwise.
+_DOCS3_CTE = """
+WITH documents3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0
+)
+"""
+
+_CLUSTERS_ORACLE = _DOCS3_CTE + """,
+hashed AS (SELECT doc_id, md5(text) AS h FROM documents3),
+chain AS (
+  SELECT lag(doc_id) OVER (PARTITION BY h ORDER BY doc_id) AS src,
+         doc_id AS dst
+  FROM hashed
+),
+edges AS (
+  SELECT src, dst FROM chain WHERE src IS NOT NULL
+  UNION ALL
+  SELECT dst, src FROM chain WHERE src IS NOT NULL
+),
+reach AS (
+  WITH RECURSIVE r(node, lbl) AS (
+    SELECT doc_id, doc_id FROM hashed
+    UNION
+    SELECT e.dst, r.lbl FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, MIN(lbl) AS cluster_id FROM r GROUP BY node
+),
+sized AS (
+  SELECT node AS doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM reach
+)
+SELECT doc_id, cluster_id, cluster_size FROM sized WHERE cluster_size >= 2
+"""
+
+
+def _documents3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 50 == 0)
+    return (
+        d.unionByName(dup.withColumn("doc_id", F.col("doc_id") + 1000000))
+        .unionByName(dup.withColumn("doc_id", F.col("doc_id") + 2000000))
+    )
+
+
+@query("x_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve transitive duplicate clusters: pair output (A~B, B~C) from
+    any near-dup detector is not actionable until grouped into components
+    with one survivor each. Edges here are consecutive *versions* inside
+    an identical-text group (a lag window over md5(text)), forming chains
+    of diameter 2; min-label propagation runs a fixed 3 rounds — one more
+    than the fixture diameter — each round an equi-join of the label table
+    to the edge list + a min re-aggregate. At 100 TB the same loop runs
+    with the large-star/small-star alternation (converges in O(log d)
+    rounds) and a convergence check on the label-change count; the fixed
+    bound here keeps the operator one lazy plan with no driver-side
+    action. Oracle: DuckDB WITH RECURSIVE transitive closure."""
+    docs = _documents3(spark, sf_dir)
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    chain = hashed.select(
+        F.lag("doc_id").over(w).alias("src"), F.col("doc_id").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
+    labels = hashed.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(3):
+        # neighbor's best label, propagated one hop along the edges
+        prop = (
+            labels.join(edges, labels["doc_id"] == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(prop, "doc_id", "left")
+            .select("doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        )
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes.filter(F.col("cluster_size") >= 2), "lbl")
+        .select("doc_id", F.col("lbl").alias("cluster_id"), "cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_decontaminate — eval-set n-gram overlap flagging
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = DOCS_DUP_CTE + """,
+split AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents_dup
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(toks) - 6),
+           k -> array_to_string(list_slice(toks, k, k + 7), ' ')
+         ))) AS gram
+  FROM split WHERE len(toks) >= 8
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0 AND doc_id < 1000000
+),
+train AS (
+  SELECT * FROM grams WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id, COUNT(*) AS n_hits
+  FROM train t JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id
+)
+SELECT h.doc_id, h.n_hits, tt.n_grams,
+       CAST(h.n_hits AS DOUBLE) / tt.n_grams AS contamination
+FROM hits h JOIN totals tt ON h.doc_id = tt.doc_id
+"""
+
+
+def _grams8(df: DataFrame) -> DataFrame:
+    """Distinct 8-word grams per doc, built array-side (narrow map — the
+    same zero-shuffle construction as llm.shingles3)."""
+    toks = F.split("text", " ")
+    return (
+        df.filter(F.size(toks) >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(split(text, ' ')) - 8),"
+                        " k -> concat_ws(' ', slice(split(text, ' '), k + 1, 8)))"
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+@query("x_decontaminate", oracle=_DECON_ORACLE)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any 8-word
+    gram with the held-out eval slice (doc_id % 97 of the base corpus) —
+    the n-gram overlap rule used to decontaminate GPT-3/PaLM training
+    sets. The eval gram set is tiny and broadcast into the corpus-side
+    gram stream, so the corpus is scanned once, narrowly; the only
+    shuffle is the per-doc hit count. At 100 TB the eval set is still
+    KBs ⇒ broadcast always works; the corpus-side gram explode is a
+    narrow map that pipelines with the scan."""
+    docs = documents_dup(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
+    grams = _grams8(docs)
+    bench = grams.filter(is_bench).select("gram").distinct()
+    train = grams.filter(~is_bench)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_hits",
+        "n_grams",
+        (F.col("n_hits").cast("double") / F.col("n_grams")).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_sample_stratified — deterministic per-stratum downsampling
+# ---------------------------------------------------------------------------
+
+# Rebalance the language mix: halve the dominant 'en' stratum, quarter
+# nothing, keep the rest. Thresholds are hex prefixes: lowercase-hex
+# comparison of equal-length strings == numeric comparison of the 32-bit
+# value, so `md5 < '80000000'` keeps an exact pseudo-random 50%.
+_RATE_HEX = {"en": "80000000"}  # default: keep all
+
+_STRAT_ORACLE = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE lang WHEN 'en' THEN '80000000' ELSE 'g' END
+"""
+
+
+@query("x_sample_stratified", oracle=_STRAT_ORACLE)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for mix rebalancing: keep a doc
+    iff ``substr(md5(doc_id), 1, 8) < rate_hex(lang)`` — here 50% of the
+    dominant 'en' stratum, 100% of the rest. No RNG state: the kept set
+    is a pure function of the key, so it is identical across cluster
+    sizes, retries, and engines (md5 is the cross-engine primitive, as in
+    the MinHash family). The whole operator is a narrow filter — zero
+    shuffles, fully pushdown-friendly — which is what makes per-stratum
+    subsampling free at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    thr = F.when(F.col("lang") == "en", F.lit(_RATE_HEX["en"])).otherwise(F.lit("g"))
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return d.filter(u < thr).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# x_text_pii — PII scrubbing with redaction counts
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\b555-[0-9]{4}\\b"
+
+_PII_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+FROM seeded
+"""
+
+
+@query("x_text_pii", oracle=_PII_ORACLE)
+def x_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails and phone numbers with placeholder tokens
+    and count redactions per doc. The synthetic corpus contains no PII,
+    so the fixture deterministically injects one email + one phone per
+    doc (derived from doc_id) — the scrub provably fires on every row and
+    the md5 of the cleaned text is cross-engine checkable. Narrow map,
+    zero shuffles; the regexes stay in the ASCII subset both Java regex
+    and RE2 agree on."""
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    n_red = (
+        F.regexp_count(t, F.lit(_EMAIL_RE)) + F.regexp_count(t, F.lit(_PHONE_RE))
+    ).cast("bigint")
+    return d.select(
+        "doc_id", n_red.alias("n_redactions"), F.md5(clean).alias("clean_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_domain_mix — temperature-weighted domain mixing budgets
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = """
+WITH per_src AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+  FROM documents GROUP BY source
+),
+denom AS (
+  SELECT list_reduce(list(sqrt(CAST(n_toks AS DOUBLE)) ORDER BY source), (x, y) -> x + y) AS z
+  FROM per_src
+)
+SELECT p.source, p.n_toks,
+       sqrt(CAST(p.n_toks AS DOUBLE)) / d.z AS mix_weight,
+       CAST(floor(sqrt(CAST(p.n_toks AS DOUBLE)) / d.z * 100000000) AS BIGINT)
+         AS token_budget
+FROM per_src p CROSS JOIN denom d
+"""
+
+
+@query("x_domain_mix", oracle=_MIX_ORACLE)
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (α = 0.5, the multilingual-
+    pretraining damping rule): per source, token mass → sqrt-damped
+    weight → integer token budget out of a 100M-token allocation. The
+    normalizer Σ√tᵢ is computed as a left-fold over the *source-ordered*
+    list of per-domain values, so the double sum has one fixed operand
+    order on both engines (canonical.py hazard #1 — a plain SUM(double)
+    over 20 domains would be partial-agg-order-dependent). The heavy
+    stage (token counting) is a map-side-combinable int sum; everything
+    after runs on one row per domain."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("n_toks")
+    )
+    denom = per_src.select(
+        F.struct("source", F.sqrt(F.col("n_toks").cast("double")).alias("r")).alias("s")
+    ).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["r"],
+        ).alias("z")
+    )
+    w = F.sqrt(F.col("n_toks").cast("double")) / F.col("z")
+    return per_src.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_toks",
+        w.alias("mix_weight"),
+        F.floor(w * 100000000).cast("bigint").alias("token_budget"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_quantile — exact interpolated percentiles per group
+# ---------------------------------------------------------------------------
+
+_QUANTILE_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS q25,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS q50,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS q75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_quantile", oracle=_QUANTILE_ORACLE)
+def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of l_quantity per
+    return flag: Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    both interpolate ``lower + (pos − ⌊pos⌋)·(higher − lower)`` at
+    ``pos = p·(n−1)`` in doubles, so the results are bitwise-comparable
+    (l_quantity is integer-valued ⇒ the interpolants are exact binary
+    fractions). The exact percentile is a full-sort-per-group aggregate —
+    fine for grouped quantiles where groups fit a partition; the 100 TB
+    un-grouped path is ``approx_percentile`` (t-digest sketch, algebraic,
+    map-side combinable), demonstrated rows-only in agg_approx."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.expr(
+        "percentile(CAST(l_quantity AS DOUBLE), array(0.25D, 0.5D, 0.75D))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75")
+    )

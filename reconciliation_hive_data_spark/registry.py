@@ -52,6 +52,7 @@ _MODULES = (
     # from an early-stopping correctness sweep's budget window
     "reconciliation_hive_data_spark.plans.lsh_variants",
     "reconciliation_hive_data_spark.plans.scale_ops",
+    "reconciliation_hive_data_spark.plans.pipeline_ops",
 )
 
 _loaded = False

@@ -140,3 +140,36 @@ def test_events_ts_microsecond_parity(spark, sf_dir):
         ).fetchall()
     ]
     assert ours == theirs
+
+
+def test_stratified_sample_is_narrow_zero_shuffle(spark, sf_dir):
+    """x_sample_stratified: a pure filter — any Exchange means the
+    'free at 100 TB' claim is false."""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_sample_stratified
+
+    p = plan(x_sample_stratified(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_pii_scrub_is_narrow_zero_shuffle(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_text_pii
+
+    p = plan(x_text_pii(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """x_decontaminate: the eval gram set must broadcast into the corpus
+    gram stream — a SortMergeJoin here would shuffle every corpus gram."""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_decontaminate
+
+    p = plan(x_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_dedup_clusters_no_cartesian(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_dedup_clusters
+
+    p = plan(x_dedup_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
