@@ -124,17 +124,26 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
 
-    labels = hashed.select("doc_id", F.col("doc_id").alias("lbl"))
+    # Iterate on the edge-induced subgraph only: a node with no edge is a
+    # singleton and can never reach the size>=2 output, so the CC rounds
+    # touch a table sized by duplicate DENSITY, not corpus size. (Every
+    # edge-node appears as e_src because edges carry both directions.)
+    labels = edges.select(F.col("e_src").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    )
     for _ in range(3):
-        # neighbor's best label, propagated one hop along the edges
-        prop = (
-            labels.join(edges, labels["doc_id"] == F.col("e_src"))
-            .groupBy(F.col("e_dst").alias("doc_id"))
-            .agg(F.min("lbl").alias("nlbl"))
+        # min(own label, neighbors' labels) as ONE union + min-agg: the
+        # neighbor stream re-keys each label to the edge's far endpoint
+        # the edge list is duplicate-density-sized (≪ corpus); broadcast
+        # it so each round is one shuffle (the min-agg), not two. At a
+        # scale where edges outgrow broadcast, drop the hint — AQE picks
+        # the join side from runtime stats.
+        neigh = (
+            labels.join(F.broadcast(edges), labels["doc_id"] == F.col("e_src"))
+            .select(F.col("e_dst").alias("doc_id"), "lbl")
         )
-        labels = (
-            labels.join(prop, "doc_id", "left")
-            .select("doc_id", F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"))
+        labels = labels.unionByName(neigh).groupBy("doc_id").agg(
+            F.min("lbl").alias("lbl")
         )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (

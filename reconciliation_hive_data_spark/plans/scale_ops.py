@@ -56,31 +56,42 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the bucketing lever from SURVEY.md §4: at 100 TB the facts are
     bucketed once at ingest and every subsequent key-join is
     metadata-aligned instead of re-shuffling the table."""
+    import os
     import shutil
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    for t in ("rhds_orders_bkt", "rhds_lineitem_bkt"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(warehouse.removeprefix("file:") + f"/{t}", ignore_errors=True)
-
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
-    (
-        o.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("rhds_orders_bkt")
-    )
-    (
-        li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable("rhds_lineitem_bkt")
-    )
-    ob = spark.table("rhds_orders_bkt")
-    lb = spark.table("rhds_lineitem_bkt")
+    # Ingest-once semantics: the bucketed tables are the durable artifact
+    # (that is the whole point of bucketing — pay the shuffle at write
+    # time, never again), so they are written once per sf_dir and reused
+    # across runs. Repartitioning to the bucket count first means each
+    # write task holds exactly one bucket ⇒ 8 files per table instead of
+    # tasks×buckets small files.
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_o, t_li = f"rhds_orders_bkt_{tag}", f"rhds_lineitem_bkt_{tag}"
+    if not (spark.catalog.tableExists(t_o) and spark.catalog.tableExists(t_li)):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        for t in (t_o, t_li):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(warehouse.removeprefix("file:") + f"/{t}", ignore_errors=True)
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        (
+            o.repartition(8, "o_orderkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(t_o)
+        )
+        (
+            li.repartition(8, "l_orderkey")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(t_li)
+        )
+    ob = spark.table(t_o)
+    lb = spark.table(t_li)
     # merge hint: keep it a sort-merge join so the bucket alignment (not a
     # broadcast) is what eliminates the exchanges
     return (
