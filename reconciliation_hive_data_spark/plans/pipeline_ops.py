@@ -404,3 +404,138 @@ def agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         q[0].alias("q25"), q[1].alias("q50"), q[2].alias("q75")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_text_repetition — Gopher-style repetition quality signals
+# ---------------------------------------------------------------------------
+
+_REP_ORACLE = """
+WITH split AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_transform(range(1, len(toks)),
+                        k -> toks[k] || ' ' || toks[k + 1]) AS g2
+  FROM split WHERE len(toks) >= 2
+),
+feats AS (
+  SELECT doc_id, n,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n AS dup_word_frac,
+         CAST(list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / n
+           AS top_word_frac,
+         1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+           AS dup_2gram_frac
+  FROM grams
+)
+SELECT doc_id, n AS n_toks, dup_word_frac, top_word_frac, dup_2gram_frac,
+       (dup_word_frac < 0.9 AND top_word_frac < 0.3 AND dup_2gram_frac < 0.75)
+         AS keep
+FROM feats
+"""
+
+
+@query("x_text_repetition", oracle=_REP_ORACLE)
+def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate (the Gopher/MassiveText §A1 rules
+    adapted to the fixture's line-less corpus): duplicate-word fraction,
+    top-word fraction, and duplicate-2-gram fraction per document, plus
+    the keep/drop verdict. Every feature is computed array-side inside
+    one narrow projection — no explode, no shuffle, nothing but the scan;
+    the per-doc O(distinct·n) token-frequency scan is bounded by document
+    length, not corpus size, so the operator is embarrassingly parallel
+    at 100 TB. Ratios are int/int divisions — bitwise identical on both
+    engines."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    g2 = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " k -> concat_ws(' ', slice(split(text, ' '), k, 2)))"
+    )
+    top_cnt = F.array_max(
+        F.expr(
+            "transform(array_distinct(split(text, ' ')),"
+            " t -> size(filter(split(text, ' '), x -> x = t)))"
+        )
+    )
+    d = load(spark, sf_dir, "documents").filter(n >= 2)
+    dup_word = 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
+    top_word = top_cnt.cast("double") / n
+    dup_2g = 1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
+    return d.select(
+        "doc_id",
+        n.alias("n_toks"),
+        dup_word.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        dup_2g.alias("dup_2gram_frac"),
+        ((dup_word < 0.9) & (top_word < 0.3) & (dup_2g < 0.75)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_url — URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+_URL_CTE = """
+WITH urled AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END
+           || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+           || CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&ref=rss'
+                   ELSE '' END AS url
+  FROM documents
+)
+"""
+
+_URL_ORACLE = _URL_CTE + """,
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(url), '^https?://(www\\.)?', ''),
+             '[?#].*$', ''),
+           '/+$', '') AS curl
+  FROM urled
+)
+SELECT curl, MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+FROM canon GROUP BY curl HAVING COUNT(*) > 1
+"""
+
+
+@query("x_dedup_url", oracle=_URL_ORACLE)
+def x_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (the CommonCrawl-style pre-filter that
+    runs before any content hashing): lowercase, strip scheme and www,
+    drop query/fragment and trailing slashes, then keep one survivor per
+    canonical URL. The fixture synthesizes scheme/case/tracking-param
+    variants from doc_id so canonicalization provably merges rows the
+    raw string would keep apart. Canonicalization is a narrow regexp
+    chain; the dedup groupBy shuffles only the canonical URL + id —
+    never document payloads (same shape as x_dedup_exact)."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("http://")
+        ),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed&ref=rss")).otherwise(
+            F.lit("")
+        ),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(url), "^https?://(www\\.)?", ""), "[?#].*$", ""
+        ),
+        "/+$",
+        "",
+    )
+    return (
+        d.select(F.col("doc_id"), curl.alias("curl"))
+        .groupBy("curl")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )

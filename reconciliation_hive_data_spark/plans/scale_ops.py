@@ -59,37 +59,62 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    # Ingest-once semantics: the bucketed tables are the durable artifact
+    # Ingest-once semantics: the bucketed FILES are the durable artifact
     # (that is the whole point of bucketing — pay the shuffle at write
-    # time, never again), so they are written once per sf_dir and reused
-    # across runs. Repartitioning to the bucket count first means each
-    # write task holds exactly one bucket ⇒ 8 files per table instead of
-    # tasks×buckets small files.
+    # time, never again). They are written once per sf_dir to a stable
+    # external path; any later session — including a fresh process whose
+    # per-process Derby metastore starts empty — re-attaches with a
+    # metadata-only CREATE TABLE ... CLUSTERED BY ... LOCATION over the
+    # existing files. This is exactly the 100 TB deployment shape:
+    # catalog registration over durable bucketed storage, not a rewrite.
+    # Repartitioning to the bucket count before the write means each task
+    # holds exactly one bucket ⇒ 8 files per table, not tasks×buckets.
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_o, t_li = f"rhds_orders_bkt_{tag}", f"rhds_lineitem_bkt_{tag}"
-    if not (spark.catalog.tableExists(t_o) and spark.catalog.tableExists(t_li)):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        for t in (t_o, t_li):
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    root = warehouse.removeprefix("file:")
+    ddl = {
+        t_o: (
+            "o_orderkey BIGINT, o_orderstatus STRING",
+            "o_orderkey",
+            "orders",
+            ("o_orderkey", "o_orderstatus"),
+        ),
+        t_li: (
+            "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+            "l_orderkey",
+            "lineitem",
+            ("l_orderkey", "l_extendedprice", "l_discount"),
+        ),
+    }
+    for t, (schema, key, src, cols) in ddl.items():
+        loc = f"{root}/{t}"
+        # staleness guard: a regenerated source parquet invalidates the
+        # bucketed copy (mtime check — cheap, driver-side, once per call)
+        fresh = os.path.exists(f"{loc}/_SUCCESS") and os.path.getmtime(
+            f"{loc}/_SUCCESS"
+        ) >= os.path.getmtime(f"{sf_dir.rstrip('/')}/{src}.parquet")
+        if not fresh and spark.catalog.tableExists(t):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
-            shutil.rmtree(warehouse.removeprefix("file:") + f"/{t}", ignore_errors=True)
-        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-        li = load(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_extendedprice", "l_discount"
-        )
-        (
-            o.repartition(8, "o_orderkey")
-            .write.mode("overwrite")
-            .bucketBy(8, "o_orderkey")
-            .sortBy("o_orderkey")
-            .saveAsTable(t_o)
-        )
-        (
-            li.repartition(8, "l_orderkey")
-            .write.mode("overwrite")
-            .bucketBy(8, "l_orderkey")
-            .sortBy("l_orderkey")
-            .saveAsTable(t_li)
-        )
+        if not spark.catalog.tableExists(t):
+            if not fresh:
+                shutil.rmtree(loc, ignore_errors=True)
+                (
+                    load(spark, sf_dir, src)
+                    .select(*cols)
+                    .repartition(8, key)
+                    .write.mode("overwrite")
+                    .bucketBy(8, key)
+                    .sortBy(key)
+                    .option("path", loc)
+                    .saveAsTable(t)
+                )
+            else:
+                spark.sql(
+                    f"CREATE TABLE {t} ({schema}) USING PARQUET"
+                    f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS"
+                    f" LOCATION '{loc}'"
+                )
     ob = spark.table(t_o)
     lb = spark.table(t_li)
     # merge hint: keep it a sort-merge join so the bucket alignment (not a
