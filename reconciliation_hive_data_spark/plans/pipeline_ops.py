@@ -539,3 +539,110 @@ def x_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_incremental — dedup a delta batch against the ingested corpus
+# ---------------------------------------------------------------------------
+
+# NOTE: the CASE column comes FIRST so its doc_id reference provably binds
+# to the source column, not DuckDB's lateral alias of doc_id + 1000000
+_INCR_CTE = """
+WITH delta AS (
+  SELECT CASE WHEN doc_id % 20 = 0 THEN text
+              ELSE text || ' fresh' || CAST(doc_id AS VARCHAR) END AS text,
+         doc_id + 1000000 AS doc_id,
+         lang
+  FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+_INCR_ORACLE = _INCR_CTE + """
+SELECT d.doc_id, d.lang
+FROM delta d
+WHERE md5(d.text) NOT IN (SELECT md5(text) FROM documents)
+"""
+
+
+@query("x_dedup_incremental", oracle=_INCR_ORACLE)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a delta batch is admitted only where
+    its content fingerprint is absent from the already-ingested corpus —
+    the daily-crawl shape, where you never re-scan the corpus, only
+    anti-join the delta against the fingerprint INDEX (md5 digests, not
+    payloads). The fixture delta re-ingests every 10th doc; the % 20
+    subset keeps its text verbatim (a true re-crawl duplicate, rejected)
+    while the rest is genuinely revised (admitted). At 100 TB the digest
+    index is the persisted artifact — 16 bytes/doc — and the anti-join
+    shuffles delta-sized digest sets only; with the index bucketed on
+    digest the join is exchange-free on the corpus side (join_bucketed's
+    lever applied to dedup)."""
+    d = load(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh"), F.col("doc_id").cast("string")))
+        .alias("text"),
+        "lang",
+    )
+    index = d.select(F.md5("text").alias("fp"))
+    return (
+        delta.select("doc_id", "lang", F.md5("text").alias("fp"))
+        .join(index, "fp", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_corpus_stats — per-language corpus health report
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+WITH feats AS (
+  SELECT lang, source, md5(text) AS fp,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT source) AS n_sources,
+       1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate,
+       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+       CAST(SUM(CASE WHEN CAST(n_uniq AS DOUBLE) / n_toks > 0.1 THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS quality_pass_rate
+FROM feats GROUP BY lang
+"""
+
+
+@query("x_corpus_stats", oracle=_STATS_ORACLE)
+def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report per language — the dashboard numbers a
+    pretraining-data owner watches: doc/token volume, source diversity,
+    exact-dup rate, mean doc length, and the fraction passing a lexical-
+    diversity gate. One groupBy over array-side features (no explode, no
+    second pass); every aggregate is algebraic ⇒ map-side combinable, so
+    the report costs one corpus scan + one tiny shuffle at any scale.
+    Ratios are int/int divisions — bitwise identical on both engines."""
+    toks = F.split("text", " ")
+    feats = load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        (1.0 - F.countDistinct("fp").cast("double") / F.count("*")).alias("dup_rate"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("mean_doc_tokens"),
+        (
+            F.sum(
+                F.when(F.col("n_uniq").cast("double") / F.col("n_toks") > 0.1, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        ).alias("quality_pass_rate"),
+    )
