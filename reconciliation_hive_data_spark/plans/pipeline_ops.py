@@ -622,9 +622,14 @@ def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining-data owner watches: doc/token volume, source diversity,
     exact-dup rate, mean doc length, and the fraction passing a lexical-
     diversity gate. One groupBy over array-side features (no explode, no
-    second pass); every aggregate is algebraic ⇒ map-side combinable, so
-    the report costs one corpus scan + one tiny shuffle at any scale.
-    Ratios are int/int divisions — bitwise identical on both engines."""
+    second pass). Plan shape (verified via .explain): the two DISTINCT
+    aggregates trigger Spark's Expand rewrite — each feature row fans to
+    3 replicas tagged (fp-group, source-group, plain), partially
+    aggregated map-side before ONE exchange whose cardinality is the
+    distinct-fingerprint count. That shuffle is the irreducible cost of
+    an exact dup_rate (the approximate path would swap in HLL sketches,
+    as in agg_approx). Ratios are int/int divisions — bitwise identical
+    on both engines."""
     toks = F.split("text", " ")
     feats = load(spark, sf_dir, "documents").select(
         "lang",

@@ -1,0 +1,136 @@
+"""Metamorphic / invariant tests for the plans.pipeline_ops operators —
+semantic properties the DuckDB oracle parity cannot express (the oracle
+would share a bug that violates them, as tests/test_recon_properties.py
+does for the recon API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reconciliation_hive_data_spark.plans import pipeline_ops as P
+
+
+def test_clusters_are_min_labeled_partitions(spark, sf_dir):
+    """Every cluster_id is the minimum doc_id of its members, every member
+    appears exactly once, and the reported size matches the membership."""
+    rows = P.x_dedup_clusters(spark, sf_dir).collect()
+    assert rows, "fixture guarantees at least one version chain"
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    all_docs = [d for ms in by_cluster.values() for d in ms]
+    assert len(all_docs) == len(set(all_docs))  # a doc is in ONE cluster
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+        sizes = {r.cluster_size for r in rows if r.cluster_id == cid}
+        assert sizes == {len(members)}
+
+
+def test_clusters_members_share_identical_text(spark, sf_dir):
+    """Edges link identical-text versions, so every component must be
+    text-homogeneous — a mixed cluster means propagation leaked."""
+    clusters = P.x_dedup_clusters(spark, sf_dir)
+    docs = P._documents3(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    n_mixed = (
+        clusters.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("h").alias("nh"))
+        .filter(F.col("nh") > 1)
+        .count()
+    )
+    assert n_mixed == 0
+
+
+def test_stratified_sample_is_deterministic_and_bounded(spark, sf_dir):
+    from reconciliation_hive_data_spark.catalog import load
+
+    kept = P.x_sample_stratified(spark, sf_dir)
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in P.x_sample_stratified(spark, sf_dir).collect()}
+    assert a == b  # no RNG state anywhere
+
+    docs = load(spark, sf_dir, "documents")
+    non_en = docs.filter(F.col("lang") != "en").count()
+    assert kept.filter(F.col("lang") != "en").count() == non_en  # rate 1.0 strata intact
+    en_total = docs.filter(F.col("lang") == "en").count()
+    en_kept = kept.filter(F.col("lang") == "en").count()
+    # md5 is uniform: 3σ binomial envelope around the 50% target
+    assert abs(en_kept - 0.5 * en_total) <= 3 * (en_total * 0.25) ** 0.5 + 1
+
+
+def test_pii_scrub_fires_exactly_twice_per_doc(spark, sf_dir):
+    """The fixture injects exactly one email + one phone per doc and the
+    word-soup corpus contains neither pattern — any other count means the
+    regexes over- or under-match."""
+    bad = (
+        P.x_text_pii(spark, sf_dir)
+        .filter(F.col("n_redactions") != 2)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_domain_mix_is_a_probability_allocation(spark, sf_dir):
+    rows = P.x_domain_mix(spark, sf_dir).collect()
+    assert rows
+    total_w = sum(r.mix_weight for r in rows)
+    assert abs(total_w - 1.0) < 1e-9
+    assert all(r.token_budget >= 0 for r in rows)
+    assert sum(r.token_budget for r in rows) <= 100_000_000
+
+
+def test_incremental_admits_exactly_the_revised_delta(spark, sf_dir):
+    """Re-crawled verbatim docs (original id % 20 == 0) must be rejected;
+    revised docs must all be admitted."""
+    admitted = {r.doc_id for r in P.x_dedup_incremental(spark, sf_dir).collect()}
+    assert admitted, "fixture delta always contains revised docs"
+    for did in admitted:
+        assert (did - 1_000_000) % 20 != 0
+    from reconciliation_hive_data_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents")
+    revised = {
+        r.doc_id + 1_000_000
+        for r in docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 20 != 0)
+        ).collect()
+    }
+    assert admitted == revised
+
+
+def test_url_dedup_canonical_form_and_survivors(spark, sf_dir):
+    rows = P.x_dedup_url(spark, sf_dir).collect()
+    assert rows, "tracking-param variants guarantee merges"
+    for r in rows:
+        assert r.n_copies > 1
+        assert not r.curl.startswith(("http://", "https://", "www."))
+        assert "?" not in r.curl and "#" not in r.curl
+        assert r.curl == r.curl.lower()
+        assert not r.curl.endswith("/")
+
+
+def test_repetition_features_are_valid_fractions(spark, sf_dir):
+    df = P.x_text_repetition(spark, sf_dir)
+    n_bad = df.filter(
+        (F.col("dup_word_frac") < 0)
+        | (F.col("dup_word_frac") >= 1)
+        | (F.col("top_word_frac") <= 0)
+        | (F.col("top_word_frac") > 1)
+        | (F.col("dup_2gram_frac") < 0)
+        | (F.col("dup_2gram_frac") >= 1)
+    ).count()
+    assert n_bad == 0
+
+
+def test_decontaminate_flags_the_synthetic_duplicate(spark, sf_dir):
+    """doc 0 is in the eval slice (0 % 97 == 0) and its verbatim copy
+    1000000 is in training — the copy must surface fully contaminated."""
+    rows = {r.doc_id: r for r in P.x_decontaminate(spark, sf_dir).collect()}
+    assert 1_000_000 in rows
+    assert rows[1_000_000].contamination == 1.0
+    for r in rows.values():
+        assert 0 < r.contamination <= 1.0
+        assert 0 < r.n_hits <= r.n_grams
