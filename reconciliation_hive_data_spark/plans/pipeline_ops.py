@@ -651,3 +651,66 @@ def x_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("quality_pass_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_sessionize — gap-based batch sessionization
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@query("win_sessionize", oracle=_SESSIONIZE_ORACLE)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of streaming s_session): a new
+    session starts after a >30-minute silence; the classic two-window
+    formulation — gap flag via lag, session index via running sum — then
+    one rollup per (user, session). Both windows and the final groupBy
+    share the user_id partitioning, so the whole operator is ONE shuffle
+    (the sort inside each user partition is local). Timestamps format to
+    second-precision text for the cross-engine hash (canonical.py #3);
+    (ts, event_id) ordering makes tie-handling deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", new_s.alias("new_session"))
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_session").over(run).cast("bigint").alias("session_idx"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
