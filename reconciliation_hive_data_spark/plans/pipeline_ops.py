@@ -714,3 +714,53 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_shard_balance — deterministic output sharding + balance report
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+WITH sharded AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 64
+           AS shard_id,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+FROM sharded GROUP BY shard_id
+"""
+
+
+@query("x_shard_balance", oracle=_SHARD_ORACLE)
+def x_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding for training-data writers: every doc
+    lands in shard ``md5(doc_id)[:4] % 64`` — a pure function of the key,
+    so shard membership is stable across runs, engines, and cluster
+    sizes (no round-robin, no partition-index dependence), and md5
+    uniformity balances both doc counts and token mass. The report is
+    the per-shard histogram a writer checks before committing. At 100 TB
+    the same expression feeds ``repartition(64, shard_id)`` so each task
+    writes exactly one shard file (the join_bucketed file-layout lever
+    applied to the sink side); 4 hex digits (16 bits) keeps the parsed
+    value deterministic and overflow-free on both engines."""
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 64
+    )
+    return (
+        d.select(
+            shard.alias("shard_id"),
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+    )

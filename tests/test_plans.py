@@ -98,8 +98,13 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
 
     p = plan(join_bucketed(spark, sf_dir))
     assert "SortMergeJoin" in p
-    join_part = p.split("SortMergeJoin")[0]
-    assert "Exchange hashpartitioning" not in join_part
+    # The tree block (before the node details) shows structure top-down:
+    # the only Exchange allowed is the post-join aggregation's, which sits
+    # ABOVE the SortMergeJoin — an Exchange below it (i.e. appearing after
+    # it in the tree text) would mean a join input got re-shuffled.
+    tree = p.split("\n\n")[0]
+    join_inputs = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_inputs
 
 
 def test_salted_agg_is_two_phase_on_salt(spark, sf_dir):
@@ -173,3 +178,32 @@ def test_dedup_clusters_no_cartesian(spark, sf_dir):
     p = plan(x_dedup_clusters(spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sessionize_is_single_shuffle(spark, sf_dir):
+    """win_sessionize: both windows and the rollup share the user_id
+    partitioning — more than one Exchange node means a stage
+    repartitioned needlessly. (Formatted explain prints each node as
+    '(N) Exchange' with its hashpartitioning arguments on a separate
+    line, so count node headers, not 'Exchange hashpartitioning'.)"""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import win_sessionize
+
+    p = plan(win_sessionize(spark, sf_dir))
+    assert p.count(") Exchange") == 1
+
+
+def test_incremental_dedup_no_cartesian_and_digest_only_join(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_dedup_incremental
+
+    p = plan(x_dedup_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the join key is the md5 digest — raw text must not cross the join
+    assert "LeftAnti" in p
+
+
+def test_shard_balance_is_one_aggregation(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_shard_balance
+
+    p = plan(x_shard_balance(spark, sf_dir))
+    assert p.count(") Exchange") == 1  # partial+final agg around ONE shuffle
