@@ -233,37 +233,55 @@ def s_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_ORACLE = """
 WITH t AS (
-  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 16
+           AS shard_id,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
 ),
 c AS (
-  SELECT lang, doc_id, n_tok,
-         SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT lang, shard_id, doc_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang, shard_id ORDER BY doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum
   FROM t
 )
-SELECT lang,
+SELECT lang, shard_id,
        CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
-FROM c GROUP BY lang, seq_id
+FROM c GROUP BY lang, shard_id, seq_id
 """
 
 
 @query("x_pack_sequences", oracle=_PACK_ORACLE)
 def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for LLM training: assign documents to ≤2048-token
-    training sequences by a running token count within each language
-    (cumulative-sum binning — the streaming-friendly, deterministic
+    training sequences by a running token count within each (lang, shard)
+    block (cumulative-sum binning — the streaming-friendly, deterministic
     approximation of bin packing: a doc starts a new sequence exactly when
     the running total before it has crossed the next 2048 boundary).
-    Packing is windowed inside (lang) blocks, so the shuffle is one
-    partition-by-lang exchange — no global sort; at 100 TB the block key
-    becomes (lang, shard) to bound window width."""
+    The block key is (lang, md5-mod-16 shard), NOT lang alone: a 5-language
+    corpus would otherwise funnel 100 TB through 5 window partitions. The
+    deterministic shard (same primitive as x_shard_balance) multiplies the
+    parallelism by 16× — at larger scale the modulus grows with the
+    corpus — while every emitted sequence still respects the 2048 cap
+    (packing quality is unchanged; only which bin a doc lands in moves).
+    One exchange on the composite key; no global sort."""
     d = load(spark, sf_dir, "documents")
-    t = d.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok"))
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 16
+    )
+    t = d.select(
+        "doc_id",
+        "lang",
+        shard.alias("shard_id"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard_id")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -273,7 +291,7 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq_id",
             F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0)).cast("bigint"),
         )
-        .groupBy("lang", "seq_id")
+        .groupBy("lang", "shard_id", "seq_id")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("bigint").alias("seq_tokens"),
