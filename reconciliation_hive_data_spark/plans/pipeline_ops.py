@@ -764,3 +764,37 @@ def x_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_eval_split — deterministic train/val/test assignment
+# ---------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+SELECT doc_id, lang,
+       CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+@query("x_eval_split", oracle=_SPLIT_ORACLE)
+def x_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5 range: the
+    32-bit hex prefix of md5(doc_id) falls below 0xcccccccc (= 0.8) for
+    train, below 0xe6666666 (= 0.9) for val, else test. Assignment is a
+    pure function of the key — re-runs, engine swaps, and cluster
+    resizes can never move a document across the split boundary (the
+    leakage mode that silently contaminates evals when splits come from
+    rand() or row position). A narrow zero-shuffle map, like
+    x_sample_stratified; the two operators compose (sample within a
+    split) because both condition on the same md5 stream."""
+    d = load(spark, sf_dir, "documents")
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(u < "cccccccc", "train").when(u < "e6666666", "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", split.alias("split"))

@@ -134,3 +134,21 @@ def test_decontaminate_flags_the_synthetic_duplicate(spark, sf_dir):
     for r in rows.values():
         assert 0 < r.contamination <= 1.0
         assert 0 < r.n_hits <= r.n_grams
+
+
+def test_eval_split_is_a_deterministic_partition(spark, sf_dir):
+    """Every doc gets exactly one split, assignment is stable across
+    runs, and the 3σ binomial envelope holds around 80/10/10."""
+    from reconciliation_hive_data_spark.catalog import load
+
+    rows = P.x_eval_split(spark, sf_dir).collect()
+    again = P.x_eval_split(spark, sf_dir).collect()
+    assert {(r.doc_id, r.split) for r in rows} == {(r.doc_id, r.split) for r in again}
+    n = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        counts[r.split] += 1
+    for split, p_target in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
+        sigma = (n * p_target * (1 - p_target)) ** 0.5
+        assert abs(counts[split] - p_target * n) <= 3 * sigma + 1
