@@ -297,3 +297,93 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("seq_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_orc — ORC round-trip fidelity (second columnar format)
+# ---------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("scan_orc", oracle=_ORC_ORACLE)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as the second columnar format: the events table is written to
+    ORC once per sf_dir (same mtime staleness guard as join_bucketed) and
+    the query reads it BACK — the oracle aggregates the original parquet,
+    so a pass proves lossless round-trip fidelity (int64, double, string)
+    plus working pushdown/pruning through Spark's ORC reader. ORC rides
+    the same vectorized + whole-stage-codegen path as parquet, so every
+    scale property (predicate pushdown, column pruning, partition
+    pruning) transfers unchanged."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = warehouse.removeprefix("file:") + f"/rhds_events_orc_{tag}"
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    fresh = os.path.exists(f"{loc}/_SUCCESS") and os.path.getmtime(
+        f"{loc}/_SUCCESS"
+    ) >= os.path.getmtime(src)
+    if not fresh:
+        (
+            load(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .write.mode("overwrite")
+            .orc(loc)
+        )
+    return (
+        spark.read.orc(loc)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_reaggregate — day rollup computed FROM hourly partials
+# ---------------------------------------------------------------------------
+
+_REAGG_ORACLE = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY day
+"""
+
+
+@query("agg_reaggregate", oracle=_REAGG_ORACLE)
+def agg_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup reuse (the continuous-aggregate / hypertable
+    pattern): the DAY totals are computed FROM the HOURLY partial
+    aggregate, never from raw events — counts add and exact decimal sums
+    re-aggregate losslessly, so the result is bit-identical to the
+    direct day aggregation the oracle runs. The load-bearing detail: the
+    hourly partial keeps its sum as DECIMAL (casting to double at the
+    hour grain would re-introduce order-dependent rounding at the day
+    re-agg). At 100 TB this is the materialized-rollup lever: the hourly
+    table is ~10⁴× smaller than raw events, and every coarser rollup
+    (day/week/month) re-aggregates partials in milliseconds."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+        )
+    )
