@@ -798,3 +798,64 @@ def x_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u < "cccccccc", "train").when(u < "e6666666", "val").otherwise("test")
     )
     return d.select("doc_id", "lang", split.alias("split"))
+
+
+# ---------------------------------------------------------------------------
+# x_text_perplexity — unigram-LM quality scoring (CCNet-style)
+# ---------------------------------------------------------------------------
+
+_PPL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+freqs AS (
+  SELECT tok,
+         CAST(COUNT(*) AS DOUBLE)
+           / (SELECT COUNT(*) FROM toks) AS p
+  FROM toks GROUP BY tok
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(CAST(-ln(f.p) AS DECIMAL(28,6)), 6) AS DECIMAL(28,6))
+           AS nll
+  FROM toks t JOIN freqs f ON t.tok = f.tok
+)
+SELECT doc_id,
+       COUNT(*) AS n_toks,
+       CAST(SUM(nll) AS DOUBLE) / COUNT(*) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("x_text_perplexity", oracle=_PPL_ORACLE)
+def x_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet/perplexity-filter shape): each
+    doc scores the mean negative log-probability of its tokens under the
+    corpus unigram distribution — high avg_nll = rare-token soup, the
+    docs a perplexity filter drops. Spark plan: one token explode feeds
+    BOTH the frequency table and the scoring join (self-reusable scan);
+    the tiny vocabulary broadcasts. Determinism: ln() values are rounded
+    to 6 dp IN EXACT DECIMAL before the per-doc sum, so the aggregation
+    is order-independent (canonical.py hazard #1 — a raw double sum of
+    log-probs would be partial-agg-order-dependent); the corpus total
+    rides along as a broadcast 1-row count, keeping the operator one
+    lazy plan. At 100 TB the unigram table replaces the real KenLM
+    scorer, which would run as a batched pandas UDF over the same
+    pipeline shape."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    freqs = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select("tok", (F.col("c").cast("double") / F.col("n_total")).alias("p"))
+    )
+    nll = F.round((-F.log("p")).cast("decimal(28,6)"), 6).cast("decimal(28,6)")
+    scored = toks.join(F.broadcast(freqs), "tok").select("doc_id", nll.alias("nll"))
+    # divide as DOUBLE (exact decimal sum → double, then one IEEE division)
+    # — decimal/int division picks engine-specific result scales
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        (F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"),
+    )
