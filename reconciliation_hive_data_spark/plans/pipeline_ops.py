@@ -859,3 +859,97 @@ def x_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_toks"),
         (F.sum("nll").cast("double") / F.count("*")).alias("avg_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_near_indexed — MinHash dedup over a PERSISTED signature index
+# ---------------------------------------------------------------------------
+
+
+@query("x_dedup_near_indexed", oracle=None)
+def x_dedup_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The campaign form of x_dedup_near: shingles and LSH band signatures
+    are INGESTED ONCE per sf_dir into parquet index tables (mtime-guarded,
+    like join_bucketed's bucketed facts) and every subsequent dedup run is
+    just the candidate equi-join + Jaccard verify over the indexes — the
+    corpus text is never re-read, never re-shingled, never re-hashed.
+    This is PERF.md's 'persist the shingle table at scale' lever made
+    concrete: locally the recompute wins inside ONE query, but across a
+    dedup campaign (many runs, growing corpus) the index pays for itself
+    on the second run. Registered rows-only ONLY because its result is
+    identical by construction to x_dedup_near's (same md5 derivation) —
+    the invariant test asserts pair-for-pair equality with that fully
+    oracle-checked query, which is a stronger check than re-running the
+    same SQL twice."""
+    import os
+
+    from .llm import documents_dup, shingles3
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    tok_loc = warehouse.removeprefix("file:") + f"/rhds_shingle_idx_{tag}"
+    sig_loc = warehouse.removeprefix("file:") + f"/rhds_sig_idx_{tag}"
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+
+    def _stale(loc: str) -> bool:
+        marker = f"{loc}/_SUCCESS"
+        return not (
+            os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)
+        )
+
+    if _stale(tok_loc) or _stale(sig_loc):
+        toks = shingles3(documents_dup(spark, sf_dir))
+        toks.write.mode("overwrite").parquet(tok_loc)
+        toks_idx = spark.read.parquet(tok_loc)  # reuse the just-written index
+        base = toks_idx.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, 8
+                    )
+                ).alias(f"mh{i}")
+                for i in range(1, 9)
+            ],
+            F.count("*").alias("n"),
+        )
+        band_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).cast("bigint").alias("band"),
+                    F.concat_ws("|", f"mh{2 * b + 1}", f"mh{2 * b + 2}").alias("sig"),
+                )
+                for b in range(4)
+            ]
+        )
+        (
+            base.select("doc_id", "n", F.explode(band_arr).alias("bs"))
+            .select(
+                "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+            )
+            .write.mode("overwrite")
+            .parquet(sig_loc)
+        )
+
+    toks = spark.read.parquet(tok_loc)
+    sigs = spark.read.parquet(sig_loc)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "na", "doc_b", "nb")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("ninter"))
+    )
+    j = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
+    return inter.filter(j >= 0.5).select(
+        "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
+    )

@@ -152,3 +152,22 @@ def test_eval_split_is_a_deterministic_partition(spark, sf_dir):
     for split, p_target in (("train", 0.8), ("val", 0.1), ("test", 0.1)):
         sigma = (n * p_target * (1 - p_target)) ** 0.5
         assert abs(counts[split] - p_target * n) <= 3 * sigma + 1
+
+
+def test_indexed_near_dedup_equals_recompute(spark, sf_dir):
+    """x_dedup_near_indexed reads persisted shingle/signature indexes; its
+    output must be pair-for-pair identical to the fully oracle-checked
+    recompute form — this equality IS its correctness check (stronger
+    than a rows-only count)."""
+    from reconciliation_hive_data_spark.plans.llm import x_dedup_near
+
+    indexed = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in P.x_dedup_near_indexed(spark, sf_dir).collect()
+    }
+    direct = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in x_dedup_near(spark, sf_dir).collect()
+    }
+    assert indexed == direct
+    assert indexed  # the dup fixture guarantees pairs
