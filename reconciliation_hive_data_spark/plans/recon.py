@@ -509,3 +509,113 @@ def recon_partition_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("PARTITION_DIFF")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_schema — schema/metadata-level compare (the DESCRIBE-driven check)
+# ---------------------------------------------------------------------------
+
+#: Spark simpleString → engine-neutral coarse type class. Both engines map
+#: into the same class vocabulary so the comparison is about *shape*, not
+#: about each engine's type-name spelling (Spark says ``timestamp_ntz``
+#: where DuckDB says ``TIMESTAMP`` for the identical parquet column).
+_TYPE_CLASS = {
+    "tinyint": "integer",
+    "smallint": "integer",
+    "int": "integer",
+    "bigint": "integer",
+    "float": "double",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    "boolean": "boolean",
+}
+
+
+def _type_class(simple: str) -> str:
+    if simple.startswith("decimal"):
+        return "decimal"
+    return _TYPE_CLASS.get(simple, simple)
+
+
+_DUCK_TYPE_CLASS = """
+CASE WHEN column_type IN ('TINYINT','SMALLINT','INTEGER','BIGINT','HUGEINT',
+                          'UTINYINT','USMALLINT','UINTEGER','UBIGINT')
+          THEN 'integer'
+     WHEN column_type IN ('FLOAT','DOUBLE') THEN 'double'
+     WHEN column_type = 'VARCHAR' THEN 'string'
+     WHEN column_type = 'DATE' THEN 'date'
+     WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+     WHEN column_type = 'BOOLEAN' THEN 'boolean'
+     WHEN column_type LIKE 'DECIMAL%' THEN 'decimal'
+     ELSE lower(column_type) END
+"""
+
+_SCHEMA_ORACLE = f"""
+WITH src_cols AS (
+  SELECT column_name AS col_name, {_DUCK_TYPE_CLASS} AS type_class
+  FROM (DESCRIBE SELECT * FROM orders)
+),
+tgt_cols AS (
+  SELECT column_name AS col_name, {_DUCK_TYPE_CLASS} AS type_class
+  FROM (DESCRIBE SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+               o_orderdate, CAST(1 AS BIGINT) AS o_load_batch
+        FROM orders)
+)
+SELECT COALESCE(s.col_name, t.col_name) AS col_name,
+       s.type_class AS src_type,
+       t.type_class AS tgt_type,
+       CASE WHEN s.col_name IS NULL THEN 'MISSING_IN_SOURCE'
+            WHEN t.col_name IS NULL THEN 'MISSING_IN_TARGET'
+            WHEN s.type_class = t.type_class THEN 'MATCH'
+            ELSE 'TYPE_DIFF' END AS status
+FROM src_cols s FULL OUTER JOIN tgt_cols t ON s.col_name = t.col_name
+"""
+
+
+@query("recon_schema", oracle=_SCHEMA_ORACLE)
+def recon_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-level reconciliation — the check the reference genre runs FIRST
+    (``DESCRIBE`` both tables, diff the column inventory) before spending a
+    byte on data compares. Target here is a deliberately drifted orders
+    schema: ``o_orderpriority`` dropped, ``o_totalprice`` retyped to string,
+    ``o_load_batch`` added.
+
+    Cross-engine twist: Spark introspects its DataFrame schema (parquet
+    footer); the oracle runs DuckDB's ``DESCRIBE SELECT`` on the same tables
+    — two independent schema readers mapped into one engine-neutral type
+    vocabulary, so a pass proves both engines agree on the parquet schema,
+    not just on data values.
+
+    Scale note: schema recon is metastore-metadata-sized (one row per
+    COLUMN, not per data row) — a driver-local build of the column inventory
+    is the correct plan at any data scale; no cluster work is involved until
+    a data-level check is chosen based on this diff.
+    """
+    orders = load(spark, sf_dir, "orders")
+    tgt = (
+        orders.drop("o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .withColumn("o_load_batch", F.lit(1).cast("bigint"))
+    )
+
+    def cols(df: DataFrame) -> DataFrame:
+        rows = [(f.name, _type_class(f.dataType.simpleString())) for f in df.schema.fields]
+        return spark.createDataFrame(rows, "col_name string, type_class string")
+
+    s = cols(orders).alias("s")
+    t = cols(tgt).alias("t")
+    j = s.join(t, F.col("s.col_name") == F.col("t.col_name"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("s.col_name"), F.col("t.col_name")).alias("col_name"),
+        F.col("s.type_class").alias("src_type"),
+        F.col("t.type_class").alias("tgt_type"),
+        F.when(F.col("s.col_name").isNull(), "MISSING_IN_SOURCE")
+        .when(F.col("t.col_name").isNull(), "MISSING_IN_TARGET")
+        .when(F.col("s.type_class") == F.col("t.type_class"), "MATCH")
+        .otherwise("TYPE_DIFF")
+        .alias("status"),
+    )
