@@ -1,0 +1,300 @@
+"""Reconciliation at warehouse scale, round 2: the three check shapes a
+100 TB deployment actually schedules, beyond the per-load composites in
+plans/recon.py.
+
+- ``recon_snapshot_cdc`` — snapshot-to-snapshot change capture: classify
+  every key between table versions v1 and v2 as INSERT / UPDATE / DELETE
+  with the changed-column list. This is the CDC deliverable a lakehouse
+  emits between table versions; recon_celldiff reports cell values for
+  common keys, this reports the *row lifecycle*. One full-outer sort-merge
+  join on the key; the change test is column-local (no row serialization
+  crosses the shuffle beyond the compared columns).
+- ``recon_agg_drift`` — distribution drift between source and target as a
+  Population Stability Index per value bucket. Row-level checks say which
+  rows differ; drift checks say whether the *shape* moved (the check a
+  data-quality monitor runs hourly because it only needs two 10-row
+  aggregates, not a key join). Counts are exact integers; only the final
+  (p_s - p_t)·ln(p_s/p_t) is floating, rounded 6 (plain round — arbitrary
+  reals, see canonical.py).
+- ``recon_sample_audit`` — the budget lever: full canonical-row-hash audit
+  on a deterministic 1/16 key sample (md5 prefix, no RNG state — the same
+  keys sample on every run and on any cluster size). At 100 TB this is the
+  hourly check (1/16 of the shuffle), with the nightly full recon_rowhash
+  run catching the rest; the sample predicate is a narrow filter applied
+  BEFORE the join shuffle on both sides.
+
+100 TB notes: CDC joins key-on-key (sort-merge, AQE-sizable) and compares
+only named columns; drift aggregates are two-phase map-side-combinable
+counts into a 10-row frame (the window over it is driver-trivial); the
+sample audit's cost scales with the sample fraction because the filter
+prunes before the exchange — asserted by a plan test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..canonical import canonical_row_hash, canonical_row_hash_sql
+from ..catalog import load
+from ..registry import query
+from .recon import _ORDER_HASH_COLS, ORDERS_TGT_CTE, orders_target
+
+# ---------------------------------------------------------------------------
+# recon_snapshot_cdc — table-version change-data-capture classification
+# ---------------------------------------------------------------------------
+
+# Snapshot v2 fixture: v1 = orders; v2 evolves it deterministically —
+# keys %1000==7 deleted, %1000==13 price drifted, %1000==34 priority nulled,
+# and for each key %1000==21 a NEW row (key+10M) inserted. Unlike
+# recon.orders_target there is no duplicate-key fault: CDC semantics assume
+# the key is a primary key in both versions.
+_ORDERS_V2_CTE = """
+WITH orders_v2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 1000 = 13 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 1000 = 34 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 <> 7
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 21
+)
+"""
+
+#: columns whose change flips a row to UPDATE, in fixed output order
+_CDC_COLS = (
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _orders_v2(orders: DataFrame) -> DataFrame:
+    kept = orders.filter(F.col("o_orderkey") % 1000 != 7)
+    evolved = kept.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 1000 == 13, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 1000 == 34, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    inserted = orders.filter(F.col("o_orderkey") % 1000 == 21).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10000000
+    )
+    return evolved.unionByName(inserted)
+
+
+_CDC_DIFF_CASES = ",\n             ".join(
+    f"CASE WHEN s.{c} IS DISTINCT FROM t.{c} THEN '{c}' END" for c in _CDC_COLS
+)
+
+_CDC_ORACLE = _ORDERS_V2_CTE + f""",
+j AS (
+  SELECT s.o_orderkey AS sk, t.o_orderkey AS tk,
+         CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN
+           list_filter([
+             {_CDC_DIFF_CASES}
+           ], x -> x IS NOT NULL)
+         ELSE CAST([] AS VARCHAR[]) END AS diffs
+  FROM orders s FULL OUTER JOIN orders_v2 t ON s.o_orderkey = t.o_orderkey
+)
+SELECT COALESCE(sk, tk) AS orderkey,
+       CASE WHEN tk IS NULL THEN 'DELETE'
+            WHEN sk IS NULL THEN 'INSERT'
+            ELSE 'UPDATE' END AS op,
+       COALESCE(array_to_string(diffs, ','), '') AS changed_cols,
+       CAST(len(diffs) AS INT) AS n_changed
+FROM j
+WHERE tk IS NULL OR sk IS NULL OR len(diffs) > 0
+"""
+
+
+@query("recon_snapshot_cdc", oracle=_CDC_ORACLE)
+def recon_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff as CDC: full-outer join v1↔v2 on the primary key,
+    classify INSERT / UPDATE / DELETE, and name the changed columns (the
+    per-column IS-DISTINCT-FROM array doubles as the change test and the
+    change description). Unchanged rows never leave the plan — output is
+    change-volume-sized, not table-sized. The double compare is exact
+    (both versions computed the drift with the same IEEE op), and the
+    timestamp column compares at its native precision."""
+    src = load(spark, sf_dir, "orders")
+    s = src.alias("s")
+    t = _orders_v2(src).alias("t")
+    sk, tk = F.col("s.o_orderkey"), F.col("t.o_orderkey")
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"s.{c}").eqNullSafe(F.col(f"t.{c}")), F.lit(c)
+                )
+                for c in _CDC_COLS
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    both = sk.isNotNull() & tk.isNotNull()
+    diffs = F.when(both, diffs).otherwise(F.array().cast("array<string>"))
+    op = (
+        F.when(tk.isNull(), "DELETE")
+        .when(sk.isNull(), "INSERT")
+        .when(F.size(diffs) > 0, "UPDATE")
+    )
+    return (
+        s.join(t, sk == tk, "full_outer")
+        .select(
+            F.coalesce(sk, tk).alias("orderkey"),
+            op.alias("op"),
+            F.concat_ws(",", diffs).alias("changed_cols"),
+            F.size(diffs).cast("int").alias("n_changed"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# recon_agg_drift — Population Stability Index per value bucket
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = ORDERS_TGT_CTE + """,
+src_b AS (
+  SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS INT) AS bucket,
+         COUNT(*) AS n FROM orders GROUP BY 1
+),
+tgt_b AS (
+  SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS INT) AS bucket,
+         COUNT(*) AS n FROM orders_tgt GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(s.bucket, t.bucket) AS bucket,
+         COALESCE(s.n, 0) AS n_src, COALESCE(t.n, 0) AS n_tgt
+  FROM src_b s FULL OUTER JOIN tgt_b t ON s.bucket = t.bucket
+),
+p AS (
+  SELECT bucket, n_src, n_tgt,
+         (n_src + 1) / (SUM(n_src) OVER () + 10) AS p_src,
+         (n_tgt + 1) / (SUM(n_tgt) OVER () + 10) AS p_tgt
+  FROM j
+)
+SELECT bucket, n_src, n_tgt,
+       ROUND(p_src, 6) AS p_src,
+       ROUND(p_tgt, 6) AS p_tgt,
+       ROUND((p_src - p_tgt) * LN(p_src / p_tgt), 6) AS psi
+FROM p
+"""
+
+
+@query("recon_agg_drift", oracle=_DRIFT_ORACLE)
+def recon_agg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift source↔target as per-bucket PSI contributions
+    (sum > 0.2 = "shifted" by the usual monitoring convention). Two exact
+    two-phase counts into a 10-row frame; the Laplace-smoothed (+1)
+    fractions avoid ln(0) when a bucket empties. The empty-partition
+    window over 10 rows is driver-trivial; everything below it is
+    map-side-combinable. Drift checks are the cheap hourly tier: no key
+    join, no row hashing — cost is two aggregate scans regardless of how
+    many rows changed."""
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "int"
+    )
+    src = load(spark, sf_dir, "orders")
+    src_b = src.select(bucket.alias("bucket")).groupBy("bucket").count()
+    tgt_b = (
+        orders_target(src)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+    j = (
+        src_b.alias("s")
+        .join(tgt_b.alias("t"), F.col("s.bucket") == F.col("t.bucket"), "full_outer")
+        .select(
+            F.coalesce("s.bucket", "t.bucket").alias("bucket"),
+            F.coalesce("s.count", F.lit(0)).alias("n_src"),
+            F.coalesce("t.count", F.lit(0)).alias("n_tgt"),
+        )
+    )
+    everything = Window.partitionBy()
+    p_src = (F.col("n_src") + 1) / (F.sum("n_src").over(everything) + 10)
+    p_tgt = (F.col("n_tgt") + 1) / (F.sum("n_tgt").over(everything) + 10)
+    return j.select(
+        "bucket",
+        "n_src",
+        "n_tgt",
+        F.round(p_src, 6).alias("p_src"),
+        F.round(p_tgt, 6).alias("p_tgt"),
+        F.round((p_src - p_tgt) * F.log(p_src / p_tgt), 6).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# recon_sample_audit — canonical row-hash audit on a deterministic key sample
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PRED = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"
+
+_SAMPLE_ORACLE = ORDERS_TGT_CTE + f""",
+src_s AS (
+  SELECT o_orderkey, {canonical_row_hash_sql(_ORDER_HASH_COLS)} AS h
+  FROM orders WHERE {_SAMPLE_PRED}
+),
+tgt_s AS (
+  SELECT o_orderkey, {canonical_row_hash_sql(_ORDER_HASH_COLS)} AS h
+  FROM (SELECT DISTINCT * FROM orders_tgt) WHERE {_SAMPLE_PRED}
+)
+SELECT CASE WHEN t.o_orderkey IS NULL THEN 'MISSING_IN_TARGET'
+            WHEN s.o_orderkey IS NULL THEN 'MISSING_IN_SOURCE'
+            WHEN s.h = t.h THEN 'MATCH'
+            ELSE 'MISMATCH' END AS status,
+       COUNT(*) AS n_keys
+FROM src_s s FULL OUTER JOIN tgt_s t ON s.o_orderkey = t.o_orderkey
+GROUP BY 1
+"""
+
+
+@query("recon_sample_audit", oracle=_SAMPLE_ORACLE)
+def recon_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity row-hash audit on a deterministic 1/16 key sample:
+    keys whose md5 hex starts with '0'. No RNG state — the same keys are
+    sampled on every run, every engine, every cluster size, so consecutive
+    audits are comparable and a flagged key stays flagged until fixed. The
+    sample predicate filters BOTH sides before the join shuffle (plan-test
+    asserted), so audit cost tracks the sample fraction — the knob that
+    turns the nightly full recon_rowhash into an hourly check. Target-side
+    exact-duplicate rows collapse via full-row DISTINCT (value-identical,
+    so the survivor is well-defined)."""
+    pred = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    src = load(spark, sf_dir, "orders")
+    src_s = src.filter(pred).select(
+        "o_orderkey", canonical_row_hash(_ORDER_HASH_COLS).alias("h")
+    )
+    tgt_s = (
+        orders_target(src)
+        .dropDuplicates()
+        .filter(pred)
+        .select("o_orderkey", canonical_row_hash(_ORDER_HASH_COLS).alias("h"))
+    )
+    s, t = src_s.alias("s"), tgt_s.alias("t")
+    status = (
+        F.when(F.col("t.o_orderkey").isNull(), "MISSING_IN_TARGET")
+        .when(F.col("s.o_orderkey").isNull(), "MISSING_IN_SOURCE")
+        .when(F.col("s.h") == F.col("t.h"), "MATCH")
+        .otherwise("MISMATCH")
+    )
+    return (
+        s.join(t, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full_outer")
+        .groupBy(status.alias("status"))
+        .agg(F.count("*").alias("n_keys"))
+    )

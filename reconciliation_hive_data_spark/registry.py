@@ -53,6 +53,8 @@ _MODULES = (
     "reconciliation_hive_data_spark.plans.lsh_variants",
     "reconciliation_hive_data_spark.plans.scale_ops",
     "reconciliation_hive_data_spark.plans.pipeline_ops",
+    "reconciliation_hive_data_spark.plans.recon_scale",
+    "reconciliation_hive_data_spark.plans.corpus_ops",
 )
 
 _loaded = False

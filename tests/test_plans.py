@@ -207,3 +207,33 @@ def test_shard_balance_is_one_aggregation(spark, sf_dir):
 
     p = plan(x_shard_balance(spark, sf_dir))
     assert p.count(") Exchange") == 1  # partial+final agg around ONE shuffle
+
+
+def test_chunking_is_narrow_zero_shuffle(spark, sf_dir):
+    """x_chunk_docs: chunking is per-document — any Exchange means a row
+    crossed a partition boundary it never needed to."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_chunk_docs
+
+    p = plan(x_chunk_docs(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_sample_audit_filters_before_join(spark, sf_dir):
+    """recon_sample_audit: the md5-prefix sample predicate must apply on
+    BOTH join inputs below the shuffle — one occurrence means a side is
+    hashing its full table and the 1/16-cost claim is false."""
+    from reconciliation_hive_data_spark.plans.recon_scale import recon_sample_audit
+
+    p = plan(recon_sample_audit(spark, sf_dir))
+    assert p.count("substr") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_quantize_broadcasts_scalar_stats(spark, sf_dir):
+    """x_embed_quantize: the 1-row [min,max] frame must broadcast into the
+    corpus pass — a shuffle here would re-partition every vector to meet
+    two scalars."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_embed_quantize
+
+    p = plan(x_embed_quantize(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
