@@ -9,7 +9,11 @@ imports every operator module exactly once.
 
 from __future__ import annotations
 
+import glob
 import importlib
+import json
+import os
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -28,12 +32,6 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# Registration order is deliberate: external correctness harnesses that sweep
-# queries in registration order and may stop early should land their budget on
-# the engine's signature surfaces first (reconciliation composites, the LLM
-# data-pipeline operators, streaming, UDFs, scalar functions) — the classic
-# relational operators at the tail are the most conventional and least likely
-# to regress.
 _MODULES = (
     "reconciliation_hive_data_spark.plans.recon",
     "reconciliation_hive_data_spark.plans.api",
@@ -48,14 +46,21 @@ _MODULES = (
     "reconciliation_hive_data_spark.operators.filters",
     "reconciliation_hive_data_spark.operators.sortlimit",
     "reconciliation_hive_data_spark.operators.setops",
-    # last on purpose: round-2 additions must not displace older queries
-    # from an early-stopping correctness sweep's budget window
     "reconciliation_hive_data_spark.plans.lsh_variants",
     "reconciliation_hive_data_spark.plans.scale_ops",
     "reconciliation_hive_data_spark.plans.pipeline_ops",
     "reconciliation_hive_data_spark.plans.recon_scale",
     "reconciliation_hive_data_spark.plans.corpus_ops",
 )
+
+# Queries whose physical plan was rewritten after their most recent external
+# verification row, keyed to the round of the rewrite.  They sort ahead of
+# unmodified already-verified queries until a row at-or-after that round
+# exists, then fall back into the normal rotation automatically.
+_MODIFIED_IN_ROUND: dict[str, int] = {
+    "join_asof": 2,   # linear window plan replaced the join-based plan in r2
+    "join_self": 2,   # composite (user_id, bucket) equi-join key added in r2
+}
 
 _loaded = False
 
@@ -79,14 +84,67 @@ def load_all_modules() -> None:
     _loaded = True
 
 
+def _verified_rounds() -> dict[str, int]:
+    """Latest round in which each query received an external correctness row.
+
+    Verification runs record per-query results in ``CORRECTNESS_r{N}.json`` at
+    the repo root.  Reading them back lets the registry order queries
+    least-recently-verified first, so a sweep with a bounded per-round budget
+    round-robins over the whole surface instead of re-checking the same
+    prefix: every query (including new and rewritten ones) is re-verified
+    within ``ceil(len(registry) / budget)`` rounds.
+    """
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name in rows:
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def ordered_names() -> list[str]:
+    """Registry names, least-recently-externally-verified first.
+
+    Never-verified queries sort first (in registration order), then queries
+    rewritten after their last verification row, then everything else by the
+    round of its most recent row.
+    """
+    load_all_modules()
+    rounds = _verified_rounds()
+    reg_index = {n: i for i, n in enumerate(REGISTRY)}
+
+    def key(n: str) -> tuple[int, int, int]:
+        last = rounds.get(n)
+        if last is None:
+            return (0, 0, reg_index[n])
+        if _MODIFIED_IN_ROUND.get(n, 0) > last:
+            return (1, 0, reg_index[n])
+        return (2, last, reg_index[n])
+
+    return sorted(REGISTRY, key=key)
+
+
 def all_queries() -> dict[str, QueryFn]:
     load_all_modules()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in ordered_names()}
 
 
 def all_oracles() -> dict[str, str]:
     load_all_modules()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in ordered_names()
+        if REGISTRY[name].oracle is not None
+    }
 
 
 def get(name: str) -> QuerySpec:
