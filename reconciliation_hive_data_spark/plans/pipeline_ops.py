@@ -4,8 +4,8 @@ that sits on top of the §2j dedup/similarity primitives.
 - ``x_dedup_clusters`` — connected components over duplicate *version
   chains*: near-dup pairs only say "A~B"; a real dedup pass must resolve
   transitive groups (A~B, B~C ⇒ {A,B,C} keep one). Implemented as
-  iterative min-label propagation over the edge list (the MapReduce CC
-  formulation); oracle = DuckDB ``WITH RECURSIVE`` transitive closure.
+  iterative min-label propagation with pointer-jump shortcutting, run to
+  a checked fixed point; oracle = DuckDB ``WITH RECURSIVE`` closure.
 - ``x_decontaminate`` — benchmark decontamination: flag training docs
   sharing any 8-word-gram with a held-out eval set (the GPT-3/PaLM n-gram
   overlap rule). The eval gram set is tiny ⇒ broadcast; cost is one
@@ -28,8 +28,8 @@ that sits on top of the §2j dedup/similarity primitives.
   in doubles, so results are bitwise-comparable.
 
 100 TB notes: CC iterations are equi-joins on the (small) label frontier,
-not the corpus — and the docstring documents the log-round alternation
-(large-star/small-star) for deep chains; decontamination broadcasts the
+not the corpus, and pointer-jumping bounds rounds by log(diameter) with an
+explicit convergence check; decontamination broadcasts the
 eval grams (eval sets are KBs, corpora are TBs); stratified sampling and
 PII scrubbing are stateless narrow maps that never shuffle; domain-mix
 aggregates 20 rows after a map-side-combinable token count.
@@ -50,9 +50,11 @@ from .llm import DOCS_DUP_CTE, documents_dup
 # ---------------------------------------------------------------------------
 
 # Version-chain fixture: each doc_id % 50 == 0 gains TWO copies (+1M, +2M),
-# and edges link *consecutive versions* within an identical-text group, so
-# components are chains X — X+1M — X+2M of diameter 2 — min-label must
-# propagate transitively, not just pairwise.
+# and each doc_id % 250 == 0 gains THREE more (+3M, +4M, +5M) — edges link
+# *consecutive versions* within an identical-text group, so components are
+# chains of diameter 2 (most) and diameter 5 (every 250th doc). The deep
+# chains exist specifically so a propagation loop with too few rounds
+# under-merges and fails the recursive-closure oracle.
 _DOCS3_CTE = """
 WITH documents3 AS (
   SELECT doc_id, text FROM documents
@@ -60,6 +62,12 @@ WITH documents3 AS (
   SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
   UNION ALL
   SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 250 = 0
+  UNION ALL
+  SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 250 = 0
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 250 = 0
 )
 """
 
@@ -95,10 +103,17 @@ SELECT doc_id, cluster_id, cluster_size FROM sized WHERE cluster_size >= 2
 def _documents3(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 50 == 0)
-    return (
+    deep = d.filter(F.col("doc_id") % 250 == 0)
+    out = (
         d.unionByName(dup.withColumn("doc_id", F.col("doc_id") + 1000000))
         .unionByName(dup.withColumn("doc_id", F.col("doc_id") + 2000000))
     )
+    for off in (3000000, 4000000, 5000000):
+        out = out.unionByName(deep.withColumn("doc_id", F.col("doc_id") + off))
+    return out
+
+
+_CC_MAX_ROUNDS = 20
 
 
 @query("x_dedup_clusters", oracle=_CLUSTERS_ORACLE)
@@ -107,13 +122,21 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     any near-dup detector is not actionable until grouped into components
     with one survivor each. Edges here are consecutive *versions* inside
     an identical-text group (a lag window over md5(text)), forming chains
-    of diameter 2; min-label propagation runs a fixed 3 rounds — one more
-    than the fixture diameter — each round an equi-join of the label table
-    to the edge list + a min re-aggregate. At 100 TB the same loop runs
-    with the large-star/small-star alternation (converges in O(log d)
-    rounds) and a convergence check on the label-change count; the fixed
-    bound here keeps the operator one lazy plan with no driver-side
-    action. Oracle: DuckDB WITH RECURSIVE transitive closure."""
+    of diameter up to 5 in the fixture and unbounded depth in the wild.
+
+    Min-label propagation runs to a *checked* fixed point, not a fixed
+    round count: each round is (a) min over own+neighbor labels — one
+    equi-join to the edge list + a min re-aggregate — then (b) a
+    pointer-jump shortcut (replace each label by that label's own label),
+    which halves remaining chain depth so convergence takes O(log d)
+    rounds instead of O(d). Labels are node ids and both steps are
+    monotone non-increasing, so the label SUM strictly decreases until
+    the fixed point — one cheap scalar aggregate per round is the whole
+    convergence check, and at the fixed point every edge joins equal
+    labels, i.e. labels = per-component minima exactly. Rounds are capped
+    (``_CC_MAX_ROUNDS``: 2^20-diameter chains) and non-convergence raises
+    rather than silently under-merging. Each round localCheckpoints to
+    keep lineage flat. Oracle: DuckDB WITH RECURSIVE transitive closure."""
     docs = _documents3(spark, sf_dir)
     hashed = docs.select("doc_id", F.md5("text").alias("h"))
     w = Window.partitionBy("h").orderBy("doc_id")
@@ -128,22 +151,46 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # singleton and can never reach the size>=2 output, so the CC rounds
     # touch a table sized by duplicate DENSITY, not corpus size. (Every
     # edge-node appears as e_src because edges carry both directions.)
-    labels = edges.select(F.col("e_src").alias("doc_id")).distinct().withColumn(
-        "lbl", F.col("doc_id")
+    labels = (
+        edges.select(F.col("e_src").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint()
     )
-    for _ in range(3):
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(_CC_MAX_ROUNDS):
         # min(own label, neighbors' labels) as ONE union + min-agg: the
-        # neighbor stream re-keys each label to the edge's far endpoint
-        # the edge list is duplicate-density-sized (≪ corpus); broadcast
+        # neighbor stream re-keys each label to the edge's far endpoint.
+        # The edge list is duplicate-density-sized (≪ corpus); broadcast
         # it so each round is one shuffle (the min-agg), not two. At a
         # scale where edges outgrow broadcast, drop the hint — AQE picks
         # the join side from runtime stats.
-        neigh = (
-            labels.join(F.broadcast(edges), labels["doc_id"] == F.col("e_src"))
-            .select(F.col("e_dst").alias("doc_id"), "lbl")
-        )
-        labels = labels.unionByName(neigh).groupBy("doc_id").agg(
+        neigh = labels.join(
+            F.broadcast(edges), labels["doc_id"] == F.col("e_src")
+        ).select(F.col("e_dst").alias("doc_id"), "lbl")
+        propagated = labels.unionByName(neigh).groupBy("doc_id").agg(
             F.min("lbl").alias("lbl")
+        )
+        # pointer-jump: lbl := lbl(lbl). A label is always a node id in
+        # the same component, so the jump stays within the component while
+        # collapsing chain depth geometrically (the "shortcut" half of the
+        # large-star/small-star alternation).
+        jump = propagated.select(
+            F.col("doc_id").alias("j_id"), F.col("lbl").alias("j_lbl")
+        )
+        labels_next = (
+            propagated.join(jump, propagated["lbl"] == jump["j_id"], "left")
+            .select("doc_id", F.coalesce("j_lbl", "lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = labels_next.agg(F.sum("lbl")).first()[0]
+        labels = labels_next
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"x_dedup_clusters: no fixed point after {_CC_MAX_ROUNDS} rounds"
         )
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return (

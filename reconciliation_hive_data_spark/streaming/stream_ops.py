@@ -393,8 +393,10 @@ def s_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
             n += len(pdf)
             if len(pdf):
                 mx = max(mx, float(pdf["value"].max()))
+                # vectorized micro-unit accumulation: one Arrow-batch-wide
+                # pandas op, no per-row Python interpreter loop
                 total_u += int(
-                    sum(int(round(v * 1_000_000)) for v in pdf["value"])
+                    (pdf["value"] * 1_000_000).round().astype("int64").sum()
                 )
         state.update((n, mx, total_u))
         yield pd.DataFrame(

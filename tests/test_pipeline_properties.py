@@ -27,6 +27,24 @@ def test_clusters_are_min_labeled_partitions(spark, sf_dir):
         assert sizes == {len(members)}
 
 
+def test_clusters_deep_chain_fully_merges(spark, sf_dir):
+    """doc_id % 250 == 0 docs form 6-member version chains of diameter 5
+    (X, X+1M, X+2M, X+3M, X+4M, X+5M linked consecutively). A propagation
+    loop that stops after a fixed small round count under-merges these;
+    the fixed-point loop must report all six members under cluster_id X."""
+    rows = P.x_dedup_clusters(spark, sf_dir).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    deep_roots = {
+        r.cluster_id for r in rows if r.cluster_id % 250 == 0 and r.cluster_id < 1000000
+    }
+    assert deep_roots, "fixture guarantees at least one deep chain"
+    for root in deep_roots:
+        expected = {root + off for off in (0, 1000000, 2000000, 3000000, 4000000, 5000000)}
+        assert by_cluster[root] == expected
+
+
 def test_clusters_members_share_identical_text(spark, sf_dir):
     """Edges link identical-text versions, so every component must be
     text-homogeneous — a mixed cluster means propagation leaked."""
