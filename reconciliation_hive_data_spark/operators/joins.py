@@ -179,15 +179,28 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join_asof — nearest-earlier-event join (cross-checked vs DuckDB ASOF JOIN)
 # ---------------------------------------------------------------------------
 
+# Explicit argmax over (ts, event_id), NOT DuckDB's native ASOF JOIN: when
+# several prior events share the same ts, ASOF's pick among them is
+# unspecified, so the tie rule must be pinned identically on both engines
+# (largest event_id among the latest-ts prior events — the same rule the
+# Spark window's (ts, side, ev_id) ordering yields).
 _ASOF_ORACLE = """
-SELECT p.event_id AS purchase_id,
-       p.user_id AS user_id,
-       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-       e.event_id AS prior_event_id,
-       e.event_type AS prior_type
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type <> 'purchase') e
-  ON p.user_id = e.user_id AND e.ts < p.ts
+WITH ranked AS (
+  SELECT p.event_id AS purchase_id,
+         p.user_id AS user_id,
+         p.ts AS p_ts,
+         e.event_id AS prior_event_id,
+         e.event_type AS prior_type,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type <> 'purchase') e
+    ON p.user_id = e.user_id AND e.ts < p.ts
+)
+SELECT purchase_id, user_id,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       prior_event_id, prior_type
+FROM ranked WHERE rn = 1
 """
 
 
@@ -201,8 +214,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry the last non-null event forward with ``last(..., ignorenulls)``
     over ``rowsBetween(unboundedPreceding, -1)``. Strictly linear — one
     shuffle on user_id, no join at all. Purchases sort before events at
-    equal ts so the `e.ts < p.ts` strict inequality holds. DuckDB's native
-    ASOF JOIN is the oracle — a genuine cross-engine semantic check."""
+    equal ts so the `e.ts < p.ts` strict inequality holds, and among
+    equal-ts prior events the largest event_id wins (the window orders by
+    (ts, side, ev_id), so the frame's last non-null is that argmax). The
+    oracle pins the identical (ts DESC, event_id DESC) argmax explicitly
+    rather than relying on ASOF JOIN's unspecified tie choice."""
     ev = load(spark, sf_dir, "events")
     is_p = F.col("event_type") == "purchase"
     u = ev.select(

@@ -161,7 +161,7 @@ def x_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
-    return (
+    out = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
@@ -169,6 +169,14 @@ def x_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+    # Materialize the (tiny) pair result while the feature cache is hot,
+    # then RELEASE the cache: returning a lazy plan over a still-persisted
+    # doc-count-sized table would pin executor storage for the session
+    # lifetime (bench loops, repeated dedup runs). The checkpointed result
+    # is dropped by the ContextCleaner when callers let it go.
+    out = out.localCheckpoint()
+    feats.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -916,39 +916,28 @@ def x_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x_dedup_near_indexed", oracle=None)
 def x_dedup_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The campaign form of x_dedup_near: shingles and LSH band signatures
-    are INGESTED ONCE per sf_dir into parquet index tables (mtime-guarded,
-    like join_bucketed's bucketed facts) and every subsequent dedup run is
-    just the candidate equi-join + Jaccard verify over the indexes — the
-    corpus text is never re-read, never re-shingled, never re-hashed.
-    This is PERF.md's 'persist the shingle table at scale' lever made
-    concrete: locally the recompute wins inside ONE query, but across a
-    dedup campaign (many runs, growing corpus) the index pays for itself
-    on the second run. Registered rows-only ONLY because its result is
-    identical by construction to x_dedup_near's (same md5 derivation) —
-    the invariant test asserts pair-for-pair equality with that fully
-    oracle-checked query, which is a stronger check than re-running the
-    same SQL twice."""
+    are INGESTED ONCE per source corpus into parquet index tables (one
+    atomic artifact — artifacts.ensure_artifact owns path keying,
+    content-fingerprint staleness, and rename-atomic publish) and every
+    subsequent dedup run is just the candidate equi-join + Jaccard verify
+    over the indexes — the corpus text is never re-read, never
+    re-shingled, never re-hashed. This is PERF.md's 'persist the shingle
+    table at scale' lever made concrete: locally the recompute wins inside
+    ONE query, but across a dedup campaign (many runs, growing corpus) the
+    index pays for itself on the second run. Registered rows-only ONLY
+    because its result is identical by construction to x_dedup_near's
+    (same md5 derivation) — the invariant test asserts pair-for-pair
+    equality with that fully oracle-checked query, which is a stronger
+    check than re-running the same SQL twice."""
     import os
 
+    from ..artifacts import ensure_artifact
     from .llm import documents_dup, shingles3
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    tok_loc = warehouse.removeprefix("file:") + f"/rhds_shingle_idx_{tag}"
-    sig_loc = warehouse.removeprefix("file:") + f"/rhds_sig_idx_{tag}"
-    src = f"{sf_dir.rstrip('/')}/documents.parquet"
-
-    def _stale(loc: str) -> bool:
-        marker = f"{loc}/_SUCCESS"
-        return not (
-            os.path.exists(marker)
-            and os.path.getmtime(marker) >= os.path.getmtime(src)
-        )
-
-    if _stale(tok_loc) or _stale(sig_loc):
-        toks = shingles3(documents_dup(spark, sf_dir))
-        toks.write.mode("overwrite").parquet(tok_loc)
-        toks_idx = spark.read.parquet(tok_loc)  # reuse the just-written index
+    def build(tmp: str) -> None:
+        tok_tmp = os.path.join(tmp, "tokens")
+        shingles3(documents_dup(spark, sf_dir)).write.mode("overwrite").parquet(tok_tmp)
+        toks_idx = spark.read.parquet(tok_tmp)  # reuse the just-written index
         base = toks_idx.groupBy("doc_id").agg(
             *[
                 F.min(
@@ -975,11 +964,14 @@ def x_dedup_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
             )
             .write.mode("overwrite")
-            .parquet(sig_loc)
+            .parquet(os.path.join(tmp, "sigs"))
         )
 
-    toks = spark.read.parquet(tok_loc)
-    sigs = spark.read.parquet(sig_loc)
+    loc, _ = ensure_artifact(
+        spark, sf_dir, "neardup_idx", ["documents.parquet"], build
+    )
+    toks = spark.read.parquet(os.path.join(loc, "tokens"))
+    sigs = spark.read.parquet(os.path.join(loc, "sigs"))
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "band", "sig")
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "band", "sig")
     cands = (

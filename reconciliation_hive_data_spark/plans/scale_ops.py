@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..artifacts import ensure_artifact
 from ..canonical import money_sum, money_sum_sql, ts_str
 from ..catalog import load
 from ..registry import query
@@ -57,66 +58,66 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed once at ingest and every subsequent key-join is
     metadata-aligned instead of re-shuffling the table."""
     import os
-    import shutil
 
     # Ingest-once semantics: the bucketed FILES are the durable artifact
     # (that is the whole point of bucketing — pay the shuffle at write
-    # time, never again). They are written once per sf_dir to a stable
-    # external path; any later session — including a fresh process whose
-    # per-process Derby metastore starts empty — re-attaches with a
-    # metadata-only CREATE TABLE ... CLUSTERED BY ... LOCATION over the
-    # existing files. This is exactly the 100 TB deployment shape:
-    # catalog registration over durable bucketed storage, not a rewrite.
+    # time, never again). They are written once per source dataset to a
+    # path keyed by the absolute sf_dir (artifacts.ensure_artifact owns
+    # keying, content-fingerprint staleness, and rename-atomic publish);
+    # any later session — including a fresh process whose per-process
+    # Derby metastore starts empty — re-attaches with a metadata-only
+    # CREATE TABLE ... CLUSTERED BY ... LOCATION over the existing files.
+    # This is exactly the 100 TB deployment shape: catalog registration
+    # over durable bucketed storage, not a rewrite.
     # Repartitioning to the bucket count before the write means each task
     # holds exactly one bucket ⇒ 8 files per table, not tasks×buckets.
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    t_o, t_li = f"rhds_orders_bkt_{tag}", f"rhds_lineitem_bkt_{tag}"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    root = warehouse.removeprefix("file:")
     ddl = {
-        t_o: (
+        "orders_bkt": (
             "o_orderkey BIGINT, o_orderstatus STRING",
             "o_orderkey",
             "orders",
             ("o_orderkey", "o_orderstatus"),
         ),
-        t_li: (
+        "lineitem_bkt": (
             "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
             "l_orderkey",
             "lineitem",
             ("l_orderkey", "l_extendedprice", "l_discount"),
         ),
     }
-    for t, (schema, key, src, cols) in ddl.items():
-        loc = f"{root}/{t}"
-        # staleness guard: a regenerated source parquet invalidates the
-        # bucketed copy (mtime check — cheap, driver-side, once per call)
-        fresh = os.path.exists(f"{loc}/_SUCCESS") and os.path.getmtime(
-            f"{loc}/_SUCCESS"
-        ) >= os.path.getmtime(f"{sf_dir.rstrip('/')}/{src}.parquet")
-        if not fresh and spark.catalog.tableExists(t):
+    tables = {}
+    for kind, (schema, key, src, cols) in ddl.items():
+
+        def build(tmp: str, key: str = key, src: str = src, cols: tuple = cols) -> None:
+            # bucketed writes must go through saveAsTable; stage under a
+            # scratch catalog name, keep the (external) files, drop the name
+            scratch = "rhds_bucket_build_scratch"
+            spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+            (
+                load(spark, sf_dir, src)
+                .select(*cols)
+                .repartition(8, key)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", tmp)
+                .saveAsTable(scratch)
+            )
+            spark.sql(f"DROP TABLE {scratch}")
+
+        loc, rebuilt = ensure_artifact(spark, sf_dir, kind, [f"{src}.parquet"], build)
+        t = os.path.basename(loc)
+        if rebuilt:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         if not spark.catalog.tableExists(t):
-            if not fresh:
-                shutil.rmtree(loc, ignore_errors=True)
-                (
-                    load(spark, sf_dir, src)
-                    .select(*cols)
-                    .repartition(8, key)
-                    .write.mode("overwrite")
-                    .bucketBy(8, key)
-                    .sortBy(key)
-                    .option("path", loc)
-                    .saveAsTable(t)
-                )
-            else:
-                spark.sql(
-                    f"CREATE TABLE {t} ({schema}) USING PARQUET"
-                    f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS"
-                    f" LOCATION '{loc}'"
-                )
-    ob = spark.table(t_o)
-    lb = spark.table(t_li)
+            spark.sql(
+                f"CREATE TABLE {t} ({schema}) USING PARQUET"
+                f" CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS"
+                f" LOCATION '{loc}'"
+            )
+        tables[kind] = t
+    ob = spark.table(tables["orders_bkt"])
+    lb = spark.table(tables["lineitem_bkt"])
     # merge hint: keep it a sort-merge join so the bucket alignment (not a
     # broadcast) is what eliminates the exchanges
     return (
@@ -314,29 +315,24 @@ FROM events GROUP BY event_type
 @query("scan_orc", oracle=_ORC_ORACLE)
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC as the second columnar format: the events table is written to
-    ORC once per sf_dir (same mtime staleness guard as join_bucketed) and
-    the query reads it BACK — the oracle aggregates the original parquet,
-    so a pass proves lossless round-trip fidelity (int64, double, string)
-    plus working pushdown/pruning through Spark's ORC reader. ORC rides
-    the same vectorized + whole-stage-codegen path as parquet, so every
-    scale property (predicate pushdown, column pruning, partition
-    pruning) transfers unchanged."""
-    import os
+    ORC once per source dataset (artifacts.ensure_artifact owns keying,
+    content-fingerprint staleness, and atomic publish) and the query reads
+    it BACK — the oracle aggregates the original parquet, so a pass proves
+    lossless round-trip fidelity (int64, double, string) plus working
+    pushdown/pruning through Spark's ORC reader. ORC rides the same
+    vectorized + whole-stage-codegen path as parquet, so every scale
+    property (predicate pushdown, column pruning, partition pruning)
+    transfers unchanged."""
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = warehouse.removeprefix("file:") + f"/rhds_events_orc_{tag}"
-    src = f"{sf_dir.rstrip('/')}/events.parquet"
-    fresh = os.path.exists(f"{loc}/_SUCCESS") and os.path.getmtime(
-        f"{loc}/_SUCCESS"
-    ) >= os.path.getmtime(src)
-    if not fresh:
+    def build(tmp: str) -> None:
         (
             load(spark, sf_dir, "events")
             .select("event_id", "event_type", "value")
             .write.mode("overwrite")
-            .orc(loc)
+            .orc(tmp)
         )
+
+    loc, _ = ensure_artifact(spark, sf_dir, "events_orc", ["events.parquet"], build)
     return (
         spark.read.orc(loc)
         .groupBy("event_type")
