@@ -6,12 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized via a cheap full-evaluation action
 (``df.write.format("noop")``) so timing covers the whole plan without
 driver-side collect overhead dominating.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_REPS runs (default 3):
+single-shot timings on a shared box carry 1.5-2x run-to-run variance
+(GC pauses, page cache, neighbors — see PERF.md), which medians mostly
+cancel. "value" is the sum of the medians. Set SPARK_GRAFT_REPS=1 for a
+fast probe.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,14 +46,19 @@ def main() -> None:
     # catalog-backed query happens to run first
     spark.catalog.tableExists("rhds_warmup_probe")
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     for name, spec in sorted(registry.REGISTRY.items()):
-        t0 = time.perf_counter()
-        try:
-            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # a failing query must not kill the bench
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as exc:  # a failing query must not kill the bench
+                samples = []
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                break
+        timings[name] = round(statistics.median(samples), 3) if samples else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
