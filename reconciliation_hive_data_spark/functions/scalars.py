@@ -385,3 +385,40 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fixed_epoch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_bitwise — integer bit manipulation
+# ---------------------------------------------------------------------------
+
+_BITWISE_ORACLE = """
+SELECT event_id,
+       CAST(user_id & 255 AS BIGINT) AS band,
+       CAST(event_id | 15 AS BIGINT) AS flags,
+       CAST(xor(event_id, user_id) AS BIGINT) AS toggled,
+       CAST((user_id << 8) | (event_id >> 4) AS BIGINT) AS packed,
+       CAST(bit_count(event_id) AS INT) AS popcnt,
+       CAST(~user_id AS BIGINT) AS inverted
+FROM events
+"""
+
+
+@query("fn_bitwise", oracle=_BITWISE_ORACLE)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-manipulation family (AND/OR/XOR/shift/popcount/NOT) over int64
+    keys — the primitives behind hash partitioning, bitmap flags, and key
+    packing. All two's-complement int64 ops, bit-identical on both engines;
+    shifts stay in range because the fixture keys are far below 2^55."""
+    e = load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    return e.select(
+        "event_id",
+        uid.bitwiseAND(F.lit(255)).cast("bigint").alias("band"),
+        eid.bitwiseOR(F.lit(15)).cast("bigint").alias("flags"),
+        eid.bitwiseXOR(uid).cast("bigint").alias("toggled"),
+        (F.shiftleft(uid, 8).cast("bigint").bitwiseOR(F.shiftright(eid, 4)))
+        .cast("bigint")
+        .alias("packed"),
+        F.bit_count(eid).cast("int").alias("popcnt"),
+        F.bitwise_not(uid).cast("bigint").alias("inverted"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..canonical import (
     money_avg,
@@ -452,4 +453,116 @@ def agg_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderkey", "sort_key").alias("last_order"),
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr — exact-moment Pearson correlation / covariance per group
+# ---------------------------------------------------------------------------
+
+# The co-moments are EXACT decimal sums (2-dp money inputs ⇒ 4-dp products,
+# both inside DECIMAL(38,12)); only the final closed-form combination runs
+# in doubles, with identical association on both engines, so corr/cov are
+# bit-comparable where a native corr() aggregate (running co-moment
+# updates, order-dependent) would not be. The oracle's product operands are
+# DECIMAL(19,6) — one digit wider than needed — to push DuckDB onto its
+# int128 multiply path (DECIMAL(18) pairs multiply in raw int64 and
+# overflow on large prices); the values are identical either way.
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                  * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6))
+                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,6))
+                  * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr_qty_price,
+       ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS cov_qty_price
+FROM m
+"""
+
+
+@query("agg_corr", oracle=_CORR_ORACLE)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and sample covariance of quantity vs price per
+    returnflag, from exact decimal co-moments: Σx, Σy, Σx², Σy², Σxy are
+    order-independent decimal sums (one partial-aggregatable pass), and the
+    closed-form combination is a fixed double expression — unlike F.corr,
+    whose streaming co-moment updates depend on partition order."""
+    li = load(spark, sf_dir, "lineitem")
+    dx = F.col("l_quantity").cast("decimal(18,6)")
+    dy = F.col("l_extendedprice").cast("decimal(18,6)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - 1)), 6).alias("cov_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram — fixed-width value histogram per group
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(LEAST(FLOOR(value / 50), 9) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM events GROUP BY event_type, bin
+)
+SELECT event_type, bin, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type), 6) AS frac
+FROM b
+"""
+
+
+@query("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 50, clamped top bin) of event values
+    per type — the profiling primitive behind recon_agg_drift's buckets,
+    exposed as its own operator. floor-division binning is exact IEEE on
+    both engines (no midpoint rule consulted); the per-type fraction is a
+    window over the already-aggregated bin frame (≤ 10 rows per type), so
+    the only full-data cost is one map-side-combinable count."""
+    ev = load(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("int").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return b.select(
+        "event_type",
+        "bin",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
     )

@@ -151,3 +151,47 @@ def set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("o_custkey", "o_totalprice", F.col("o_orderkey").alias("survivor_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# set_bagops — multiset INTERSECT ALL / EXCEPT ALL
+# ---------------------------------------------------------------------------
+
+_BAGOPS_ORACLE = """
+WITH a AS (
+  SELECT user_id, event_type FROM events WHERE value > 100
+),
+b AS (
+  SELECT user_id, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+)
+SELECT 'intersect_all' AS op, user_id, event_type
+FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+UNION ALL
+SELECT 'except_all' AS op, user_id, event_type
+FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+"""
+
+
+@query("set_bagops", oracle=_BAGOPS_ORACLE)
+def set_bagops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations: INTERSECT ALL keeps min(countA,
+    countB) copies of each row, EXCEPT ALL keeps countA - countB — the
+    semantics dedup-sensitive reconciliation needs when duplicate rows are
+    themselves the signal (set_union/set_except cover the DISTINCT forms).
+    Spark implements both as a single count-compare aggregate under the
+    hood — one shuffle on the full row, same as the DISTINCT variants."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") > 100).select("user_id", "event_type")
+    b = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type"
+    )
+    return (
+        a.intersectAll(b)
+        .select(F.lit("intersect_all").alias("op"), "user_id", "event_type")
+        .unionByName(
+            a.exceptAll(b).select(
+                F.lit("except_all").alias("op"), "user_id", "event_type"
+            )
+        )
+    )

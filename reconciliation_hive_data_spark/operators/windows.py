@@ -274,3 +274,35 @@ def win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("user_first_type"),
         F.last("event_type").over(w).alias("user_last_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# win_distribution — ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+_WDIST_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@query("win_ntile", oracle=_WDIST_ORACLE)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile assignment (ntile), relative
+    rank, and cumulative distribution per order-status partition. The
+    (o_totalprice, o_orderkey) ordering is total, so bucket boundaries and
+    ranks are deterministic; the ratios are single int/int divisions —
+    bit-identical cross-engine. ntile's extra-row rule (earlier buckets get
+    the remainder) is the SQL-standard one on both engines."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

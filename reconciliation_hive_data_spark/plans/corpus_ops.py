@@ -151,3 +151,72 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         mn.alias("scale_min"),
         mx.alias("scale_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_embed_quantize_perdim — per-dimension uint8 quantization
+# ---------------------------------------------------------------------------
+
+_QUANT_PERDIM_ORACLE = """
+WITH flat AS (
+  SELECT vec_id,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+),
+stats AS (
+  SELECT pos,
+         CAST(MIN(x) AS DOUBLE) AS mn,
+         CAST(MAX(x) AS DOUBLE) AS mx
+  FROM flat GROUP BY pos
+),
+codes AS (
+  SELECT f.vec_id, f.pos,
+         CAST(LEAST(FLOOR((CAST(f.x AS DOUBLE) - s.mn) / (s.mx - s.mn) * 256),
+                    255) AS INT) AS code
+  FROM flat f JOIN stats s USING (pos)
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS INT) AS n_dims,
+       string_agg(code, ',' ORDER BY pos) AS codes
+FROM codes GROUP BY vec_id
+"""
+
+
+@query("x_embed_quantize_perdim", oracle=_QUANT_PERDIM_ORACLE)
+def x_embed_quantize_perdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 quantization — the quality upgrade over
+    x_embed_quantize's single global scale: each of the 64 dimensions gets
+    its own [min, max] grid, so a dimension with small dynamic range keeps
+    its resolution instead of collapsing into a few global levels.
+    Plan: posexplode → 64-row per-dimension stats aggregate → broadcast
+    join back on pos → floor onto the 256-level grid → re-assemble codes
+    in pos order (array_sort over collected (pos, code) structs — no
+    second window shuffle). Same cross-engine exactness argument as the
+    global variant: float→double promotion, subtraction, division and
+    floor consult no midpoint rule. The stats side is dims-count-sized
+    (64 rows at any corpus scale) — always broadcastable."""
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    stats = flat.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    code = F.least(
+        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+        F.lit(255),
+    ).cast("int")
+    coded = flat.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", code.alias("code")
+    )
+    return coded.groupBy("vec_id").agg(
+        F.count("*").cast("int").alias("n_dims"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+            ",",
+        ).alias("codes"),
+    )

@@ -992,3 +992,166 @@ def x_dedup_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(j >= 0.5).select(
         "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_editdist — Levenshtein fuzzy match of a delta batch, prefix-blocked
+# ---------------------------------------------------------------------------
+
+_EDITDIST_ORACLE = _INCR_CTE + """,
+probe AS (
+  SELECT doc_id, lang, text,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+           AS blk
+  FROM delta
+),
+corpus AS (
+  SELECT doc_id, lang, text,
+         md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' '))
+           AS blk
+  FROM documents
+)
+SELECT p.doc_id AS delta_id,
+       c.doc_id AS src_id,
+       CAST(levenshtein(p.text, c.text) AS INT) AS edit_dist
+FROM probe p JOIN corpus c ON p.blk = c.blk AND p.lang = c.lang
+WHERE levenshtein(p.text, c.text) <= 32
+"""
+
+
+@query("x_dedup_editdist", oracle=_EDITDIST_ORACLE)
+def x_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) dedup of an incoming delta batch against the
+    corpus: candidate pairs are generated by an EQUI join on a cheap block
+    key — md5 of the first five tokens plus the language — and only the
+    candidates pay the O(len²) Levenshtein DP, capped at distance 32.
+    This catches the near-miss revisions x_dedup_incremental's exact-digest
+    anti-join admits (the fixture's revised docs differ only by an appended
+    ' fresh N' suffix ⇒ small distances; verbatim re-crawls score 0).
+    Both engines implement the classic Wagner-Fischer metric ⇒ exact int
+    parity. At 100 TB the block key bounds candidates by prefix-collision
+    density, the same contract as every LSH operator here; widen the probe
+    prefix to tighten blocks."""
+    d = load(spark, sf_dir, "documents")
+    delta = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 20 == 0, F.col("text"))
+        .otherwise(
+            F.concat(F.col("text"), F.lit(" fresh"), F.col("doc_id").cast("string"))
+        )
+        .alias("text"),
+        "lang",
+    )
+    blk = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)))
+    probe = delta.select(
+        F.col("doc_id").alias("delta_id"),
+        F.col("lang").alias("p_lang"),
+        F.col("text").alias("p_text"),
+        blk.alias("blk"),
+    )
+    corpus = d.select(
+        F.col("doc_id").alias("src_id"),
+        F.col("lang").alias("c_lang"),
+        F.col("text").alias("c_text"),
+        blk.alias("blk"),
+    )
+    dist = F.levenshtein("p_text", "c_text")
+    return (
+        probe.join(corpus, ["blk"])
+        .filter(F.col("p_lang") == F.col("c_lang"))
+        .filter(dist <= 32)
+        .select("delta_id", "src_id", dist.cast("int").alias("edit_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_quality_gopher — Gopher-style rule-based quality gate
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split(text, ' ') AS toks,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+           AS sum_word_len,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(toks, x -> x IN ('#', '...')))
+              AS BIGINT) AS n_symbol_words,
+         CAST(len(list_filter(toks,
+              x -> x IN ('the', 'be', 'to', 'of', 'and', 'that', 'have',
+                         'with'))) AS BIGINT) AS n_stop_words
+  FROM t
+),
+r AS (
+  SELECT doc_id, lang, n_words,
+         ROUND(CAST(sum_word_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+         (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+         (CAST(sum_word_len AS DOUBLE) / n_words >= 3.0
+          AND CAST(sum_word_len AS DOUBLE) / n_words <= 10.0)
+           AS rule_mean_word_len,
+         (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS rule_alpha,
+         (CAST(n_symbol_words AS DOUBLE) / n_words <= 0.1) AS rule_symbol,
+         (n_stop_words >= 2) AS rule_stopwords
+  FROM m
+)
+SELECT doc_id, lang, n_words, mean_word_len,
+       rule_word_count, rule_mean_word_len, rule_alpha, rule_symbol,
+       rule_stopwords,
+       (rule_word_count AND rule_mean_word_len AND rule_alpha
+        AND rule_symbol AND rule_stopwords) AS gopher_pass
+FROM r
+"""
+
+
+@query("x_quality_gopher", oracle=_GOPHER_ORACLE)
+def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (the published heuorithm family
+    from the Gopher/MassiveText filtering pipeline): word-count bounds,
+    mean-word-length bounds, minimum fraction of words containing an
+    alphabetic character, maximum symbol-word ratio, and a minimum stopword
+    count — each emitted as its own boolean so downstream analysis can
+    attribute rejections, plus the conjunction. Entirely array-side narrow
+    compute (one pass, zero shuffles); x_text_quality covers the
+    statistical features, this covers the hard gate."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks).cast("bigint")
+    sum_word_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("bigint")
+    n_symbol = F.size(F.filter(toks, lambda x: x.isin("#", "..."))).cast("bigint")
+    n_stop = F.size(
+        F.filter(
+            toks,
+            lambda x: x.isin("the", "be", "to", "of", "and", "that", "have", "with"),
+        )
+    ).cast("bigint")
+    mean_wl = sum_word_len.cast("double") / n_words
+    rule_wc = (n_words >= 50) & (n_words <= 100000)
+    rule_mwl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    rule_alpha = n_alpha.cast("double") / n_words >= 0.8
+    rule_symbol = n_symbol.cast("double") / n_words <= 0.1
+    rule_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_alpha.alias("rule_alpha"),
+        rule_symbol.alias("rule_symbol"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_wc & rule_mwl & rule_alpha & rule_symbol & rule_stop).alias(
+            "gopher_pass"
+        ),
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..canonical import canonical_row_hash, canonical_row_hash_sql
+from ..canonical import canonical_row_hash, canonical_row_hash_sql, ts_str
 from ..catalog import load
 from ..registry import query
 from .recon import _ORDER_HASH_COLS, ORDERS_TGT_CTE, orders_target
@@ -196,27 +196,21 @@ FROM p
 """
 
 
-@query("recon_agg_drift", oracle=_DRIFT_ORACLE)
-def recon_agg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution drift source↔target as per-bucket PSI contributions
-    (sum > 0.2 = "shifted" by the usual monitoring convention). Two exact
-    two-phase counts into a 10-row frame; the Laplace-smoothed (+1)
-    fractions avoid ln(0) when a bucket empties. The empty-partition
-    window over 10 rows is driver-trivial; everything below it is
-    map-side-combinable. Drift checks are the cheap hourly tier: no key
-    join, no row hashing — cost is two aggregate scans regardless of how
-    many rows changed."""
-    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+def psi_frame(
+    src: DataFrame, tgt: DataFrame, value_col: str, width: float, top_bucket: int
+) -> DataFrame:
+    """Per-bucket PSI contributions between two distributions of
+    ``value_col``, fixed-width buckets clamped at ``top_bucket``. The
+    reusable core of recon_agg_drift — tests drive it with synthetic
+    known-drift data to pin the check's sensitivity (identical inputs ⇒
+    every psi contribution exactly 0; injected shift ⇒ Σpsi above the 0.2
+    alerting convention)."""
+    bucket = F.least(F.floor(F.col(value_col) / width), F.lit(top_bucket)).cast(
         "int"
     )
-    src = load(spark, sf_dir, "orders")
+    n_buckets = top_bucket + 1
     src_b = src.select(bucket.alias("bucket")).groupBy("bucket").count()
-    tgt_b = (
-        orders_target(src)
-        .select(bucket.alias("bucket"))
-        .groupBy("bucket")
-        .count()
-    )
+    tgt_b = tgt.select(bucket.alias("bucket")).groupBy("bucket").count()
     j = (
         src_b.alias("s")
         .join(tgt_b.alias("t"), F.col("s.bucket") == F.col("t.bucket"), "full_outer")
@@ -227,8 +221,8 @@ def recon_agg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     everything = Window.partitionBy()
-    p_src = (F.col("n_src") + 1) / (F.sum("n_src").over(everything) + 10)
-    p_tgt = (F.col("n_tgt") + 1) / (F.sum("n_tgt").over(everything) + 10)
+    p_src = (F.col("n_src") + 1) / (F.sum("n_src").over(everything) + n_buckets)
+    p_tgt = (F.col("n_tgt") + 1) / (F.sum("n_tgt").over(everything) + n_buckets)
     return j.select(
         "bucket",
         "n_src",
@@ -237,6 +231,21 @@ def recon_agg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_tgt, 6).alias("p_tgt"),
         F.round((p_src - p_tgt) * F.log(p_src / p_tgt), 6).alias("psi"),
     )
+
+
+@query("recon_agg_drift", oracle=_DRIFT_ORACLE)
+def recon_agg_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift source↔target as per-bucket PSI contributions
+    (sum > 0.2 = "shifted" by the usual monitoring convention). Two exact
+    two-phase counts into a 10-row frame; the Laplace-smoothed (+1)
+    fractions avoid ln(0) when a bucket empties. The empty-partition
+    window over 10 rows is driver-trivial; everything below it is
+    map-side-combinable. Drift checks are the cheap hourly tier: no key
+    join, no row hashing — cost is two aggregate scans regardless of how
+    many rows changed. Core math lives in ``psi_frame``, whose sensitivity
+    is pinned by a synthetic known-drift test."""
+    src = load(spark, sf_dir, "orders")
+    return psi_frame(src, orders_target(src), "o_totalprice", 50000, 9)
 
 
 # ---------------------------------------------------------------------------
@@ -297,4 +306,184 @@ def recon_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(t, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full_outer")
         .groupBy(status.alias("status"))
         .agg(F.count("*").alias("n_keys"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# recon_footer_stats — parquet footer metadata vs data reconciliation
+# ---------------------------------------------------------------------------
+
+_FOOTER_COLS = ("l_extendedprice", "l_quantity")
+
+_FOOTER_ORACLE = """
+WITH s AS (
+  SELECT 'l_extendedprice' AS col_name,
+         COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_extendedprice) AS n_nulls,
+         ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS mn,
+         ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS mx
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity',
+         COUNT(*),
+         COUNT(*) - COUNT(l_quantity),
+         ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6),
+         ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6)
+  FROM lineitem
+)
+SELECT col_name,
+       n_rows AS footer_rows, n_rows AS scan_rows,
+       n_nulls AS footer_nulls, n_nulls AS scan_nulls,
+       mn AS footer_min, mn AS scan_min,
+       mx AS footer_max, mx AS scan_max,
+       TRUE AS consistent
+FROM s
+"""
+
+
+@query("recon_footer_stats", oracle=_FOOTER_ORACLE)
+def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-data reconciliation: per-row-group parquet footer
+    statistics (min / max / null count / row count), read DISTRIBUTED via
+    mapInPandas over the file list with pyarrow, rolled up to table level
+    and compared against the same statistics computed by actually scanning
+    the data. Corrupt footers silently break predicate pushdown and
+    row-group pruning — this check catches them for the cost of footer
+    reads (KBs per file) plus one scan, and at 100 TB the footer side
+    alone is the fast tier: thousands of files fan out across executors
+    with no data pages touched. The oracle computes the scan side and
+    asserts footer == scan, so a footer mis-read here fails the hash
+    check. Doubles compare exactly: parquet stats store the true binary
+    values (rounded 6 on both sides for the money-class columns only)."""
+    import os
+
+    import pandas as pd
+
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    files = [
+        p.removeprefix("file:")
+        for p in spark.read.parquet(li_path).inputFiles()
+    ]
+    fdf = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        min(len(files), 32)
+    )
+    want = _FOOTER_COLS
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "col_name": [], "rg_rows": [], "rg_nulls": [],
+                "rg_min": [], "rg_max": [],
+            }
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                for i in range(md.num_row_groups):
+                    rg = md.row_group(i)
+                    for j in range(rg.num_columns):
+                        c = rg.column(j)
+                        if c.path_in_schema in want:
+                            st = c.statistics
+                            rows["col_name"].append(c.path_in_schema)
+                            rows["rg_rows"].append(rg.num_rows)
+                            rows["rg_nulls"].append(st.null_count)
+                            rows["rg_min"].append(float(st.min))
+                            rows["rg_max"].append(float(st.max))
+            yield pd.DataFrame(rows)
+
+    footer = fdf.mapInPandas(
+        read_footers,
+        "col_name string, rg_rows bigint, rg_nulls bigint,"
+        " rg_min double, rg_max double",
+    ).groupBy("col_name").agg(
+        F.sum("rg_rows").alias("footer_rows"),
+        F.sum("rg_nulls").alias("footer_nulls"),
+        F.round(F.min("rg_min"), 6).alias("footer_min"),
+        F.round(F.max("rg_max"), 6).alias("footer_max"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    scan = None
+    for c in want:
+        s = li.agg(
+            F.count("*").alias("scan_rows"),
+            (F.count("*") - F.count(c)).alias("scan_nulls"),
+            F.round(F.min(c).cast("double"), 6).alias("scan_min"),
+            F.round(F.max(c).cast("double"), 6).alias("scan_max"),
+        ).select(F.lit(c).alias("col_name"), "*")
+        scan = s if scan is None else scan.unionByName(s)
+    j = footer.join(F.broadcast(scan), "col_name")
+    consistent = (
+        (F.col("footer_rows") == F.col("scan_rows"))
+        & (F.col("footer_nulls") == F.col("scan_nulls"))
+        & (F.col("footer_min") == F.col("scan_min"))
+        & (F.col("footer_max") == F.col("scan_max"))
+    )
+    return j.select(
+        "col_name",
+        "footer_rows", "scan_rows",
+        "footer_nulls", "scan_nulls",
+        "footer_min", "scan_min",
+        "footer_max", "scan_max",
+        consistent.alias("consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# recon_partition_complete — landed-partition completeness vs calendar
+# ---------------------------------------------------------------------------
+
+_PART_COMPLETE_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS mn,
+         date_trunc('hour', MAX(ts)) AS mx
+  FROM events
+),
+cal AS (
+  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM bounds
+),
+landed AS (
+  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(c.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS n_events,
+       CASE WHEN l.n IS NULL THEN 'MISSING'
+            WHEN l.n < 5 THEN 'SPARSE'
+            ELSE 'OK' END AS status
+FROM cal c LEFT JOIN landed l ON c.hour = l.hour
+"""
+
+
+@query("recon_partition_complete", oracle=_PART_COMPLETE_ORACLE)
+def recon_partition_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness audit: generate the full expected hourly
+    calendar between the observed bounds (a 1-row aggregate exploded into
+    the calendar — never a driver-side loop) and left-join the landed
+    hourly counts; hours with no rows are MISSING, suspiciously thin ones
+    SPARSE. This is the load-monitoring recon a scheduled ingest runs
+    before any content check: a silently skipped load window is invisible
+    to row-level recon (nothing to mismatch) but obvious here. The
+    calendar is hours-sized (≪ data) and the landed side is one
+    map-side-combinable count — no full-data shuffle at any scale."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    landed = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    status = (
+        F.when(F.col("n").isNull(), "MISSING")
+        .when(F.col("n") < 5, "SPARSE")
+        .otherwise("OK")
+    )
+    return cal.join(landed, "hour", "left").select(
+        ts_str("hour", "hour"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        status.alias("status"),
     )

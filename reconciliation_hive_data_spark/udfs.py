@@ -215,3 +215,46 @@ def udtf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         sessionize, "user_id bigint, n_sessions bigint, n_events bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# udf_maparrow — mapInArrow (RecordBatch-level Python, no pandas layer)
+# ---------------------------------------------------------------------------
+
+_MAPARROW_ORACLE = """
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS n_vowels
+FROM documents
+"""
+
+
+@query("udf_maparrow", oracle=_MAPARROW_ORACLE)
+def udf_maparrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python extension point — the UDF
+    receives raw ``pyarrow.RecordBatch``es and answers with RecordBatches,
+    skipping even the Arrow→pandas conversion mapInPandas pays (relevant
+    when the per-batch work is itself Arrow-native, e.g. pyarrow.compute
+    kernels or handing batches to a C++ library). Semantics deliberately
+    SQL-expressible (UTF-8 byte length + vowel count via compute kernels)
+    so this path is oracle-checked like the rest of the UDF surface."""
+
+    def feature_batches(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.binary_length(text), pa.int32()),
+                    pc.cast(pc.count_substring_regex(text, "[aeiou]"), pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "n_vowels"],
+            )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        feature_batches, "doc_id bigint, n_bytes int, n_vowels int"
+    )

