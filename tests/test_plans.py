@@ -237,3 +237,66 @@ def test_quantize_broadcasts_scalar_stats(spark, sf_dir):
 
     p = plan(x_embed_quantize(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_editdist_blocks_and_never_goes_quadratic(spark, sf_dir):
+    """x_dedup_editdist: candidates must come from an EQUI join on the
+    block key — a nested-loop join here means every delta row compares
+    against every corpus row and the O(len²) DP runs n·m times."""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_dedup_editdist
+
+    p = plan(x_dedup_editdist(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_perdim_quantize_broadcasts_dim_stats(spark, sf_dir):
+    """x_embed_quantize_perdim: the 64-row per-dimension stats frame must
+    broadcast back into the flattened corpus — shuffling the corpus to
+    meet 64 rows inverts the size relationship."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_embed_quantize_perdim
+
+    p = plan(x_embed_quantize_perdim(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_gopher_gate_is_narrow_zero_shuffle(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_quality_gopher
+
+    p = plan(x_quality_gopher(spark, sf_dir))
+    assert "Exchange" not in p
+
+
+def test_corr_is_one_pass_two_phase(spark, sf_dir):
+    """agg_corr: all five co-moments must come from ONE partial+final
+    aggregation — a second Exchange means a moment got its own pass."""
+    from reconciliation_hive_data_spark.operators.aggregates import agg_corr
+
+    p = plan(agg_corr(spark, sf_dir))
+    assert p.count(") Exchange") == 1
+    assert p.count("HashAggregate") >= 2
+
+
+def test_footer_recon_scan_side_prunes_columns(spark, sf_dir):
+    """recon_footer_stats: the scan side must read only the two compared
+    columns (the footer side reads no data pages at all)."""
+    from reconciliation_hive_data_spark.plans.recon_scale import recon_footer_stats
+
+    p = plan(recon_footer_stats(spark, sf_dir))
+    read_schemas = [
+        seg.splitlines()[0] for seg in p.split("ReadSchema")[1:]
+    ]
+    assert read_schemas, "expected at least one parquet scan"
+    assert all("l_comment" not in rs and "l_shipdate" not in rs for rs in read_schemas)
+
+
+def test_partition_complete_calendar_is_not_a_driver_loop(spark, sf_dir):
+    """recon_partition_complete: the calendar comes from ONE aggregate
+    exploded in-plan (Generate over sequence), never a driver-side loop."""
+    from reconciliation_hive_data_spark.plans.recon_scale import (
+        recon_partition_complete,
+    )
+
+    p = plan(recon_partition_complete(spark, sf_dir))
+    assert "Generate" in p
+    assert "CartesianProduct" not in p
