@@ -422,3 +422,63 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(eid).cast("int").alias("popcnt"),
         F.bitwise_not(uid).cast("bigint").alias("inverted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_url — URL component parsing (parse_url family)
+# ---------------------------------------------------------------------------
+
+# Same synthetic URL fixture as x_dedup_url: scheme/case/query variants
+# derived from doc_id so every branch (with/without query) is exercised.
+_URL_FIXTURE_SQL = """
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END)
+         || source || '.example.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+         || (CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&ref=rss'
+                  ELSE '' END) AS url
+  FROM documents
+"""
+
+_FN_URL_ORACLE = f"""
+WITH u AS ({_URL_FIXTURE_SQL})
+SELECT doc_id,
+       regexp_extract(url, '^([^:]+)://', 1) AS proto,
+       regexp_extract(url, '^[^:]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[^:]+://[^/]+([^?#]*)', 1) AS path,
+       CASE WHEN contains(url, '?')
+            THEN regexp_extract(url, '\\?([^#]*)', 1) END AS query,
+       CASE WHEN contains(url, '?')
+            THEN regexp_extract(url, '[?&]ref=([^&#]*)', 1) END AS ref_param
+FROM u
+"""
+
+
+@query("fn_url", oracle=_FN_URL_ORACLE)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction via Spark's parse_url (protocol / host /
+    path / full query / single query parameter) — the native primitive
+    under web-corpus operators like x_dedup_url. DuckDB has no parse_url,
+    so the oracle re-derives each component with anchored regexps — a
+    genuine cross-implementation check of the parsing semantics (absent
+    query components must be NULL on both engines, not '')."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("http://")
+        ),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/?utm_source=feed&ref=rss")).otherwise(
+            F.lit("")
+        ),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )

@@ -262,15 +262,28 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram stream, so the corpus is scanned once, narrowly; the only
     shuffle is the per-doc hit count. At 100 TB the eval set is still
     KBs ⇒ broadcast always works; the corpus-side gram explode is a
-    narrow map that pipelines with the scan."""
+    narrow map that pipelines with the scan.
+
+    The per-doc gram total deliberately does NOT go through the explode:
+    it is ``size(array_distinct(...))`` computed array-side per row, so
+    the explode runs once (for the hit join), not twice — a third of the
+    round-2 plan's work, and the totals branch is now zero-shuffle."""
     docs = documents_dup(spark, sf_dir)
     is_bench = (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 1000000)
-    grams = _grams8(docs)
-    bench = grams.filter(is_bench).select("gram").distinct()
-    train = grams.filter(~is_bench)
-    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    gram_arr = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 8),"
+            " k -> concat_ws(' ', slice(split(text, ' '), k + 1, 8)))"
+        )
+    )
+    bench = _grams8(docs.filter(is_bench)).select("gram").distinct()
+    train_docs = docs.filter(~is_bench)
+    totals = train_docs.filter(F.size(F.split("text", " ")) >= 8).select(
+        "doc_id", F.size(gram_arr).alias("n_grams")
+    )
     hits = (
-        train.join(F.broadcast(bench), "gram")
+        _grams8(train_docs)
+        .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
@@ -1154,4 +1167,59 @@ def x_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rule_wc & rule_mwl & rule_alpha & rule_symbol & rule_stop).alias(
             "gopher_pass"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_vocab_coverage — vocabulary size + top-k token coverage per language
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (
+  SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, c,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+  FROM cnt
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(c) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS top10_coverage,
+       ROUND(CAST(SUM(CASE WHEN rnk <= 25 THEN c ELSE 0 END) AS DOUBLE)
+             / SUM(c), 6) AS top25_coverage
+FROM ranked GROUP BY lang
+"""
+
+
+@query("x_vocab_coverage", oracle=_VOCAB_ORACLE)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage profile per language: vocabulary size, token
+    mass, and the fraction of that mass covered by the top-10 / top-25
+    tokens — the numbers that size a tokenizer vocabulary and expose
+    boilerplate-dominated corpora (high head coverage = templated text).
+    One explode feeds a (lang, tok) count; ranking runs on the count
+    table (vocab-sized, ≪ corpus) with a (count DESC, tok) total order so
+    head membership is deterministic; the final rollup is lang-sized.
+    Shuffle cost is the token count — map-side combinable — plus the
+    vocab-sized rank exchange; the corpus text itself never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("tok"))
+    ranked = cnt.withColumn("rnk", F.row_number().over(w))
+    head = lambda k: F.sum(F.when(F.col("rnk") <= k, F.col("c")).otherwise(0))  # noqa: E731
+    return ranked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.round(head(10).cast("double") / F.sum("c"), 6).alias("top10_coverage"),
+        F.round(head(25).cast("double") / F.sum("c"), 6).alias("top25_coverage"),
     )

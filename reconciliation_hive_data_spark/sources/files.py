@@ -195,3 +195,44 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_csv — CSV sink round trip (quoting/escaping + typed read-back)
+# ---------------------------------------------------------------------------
+
+_SINK_CSV_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("sink_csv", oracle=_SINK_CSV_ORACLE)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink round trip: events written with header + quoting (the
+    props JSON column carries commas and embedded quotes, so the writer
+    must quote-escape and the reader must undo it exactly), read back with
+    an EXPLICIT schema — never inference, which at 100 TB means an extra
+    pass and type flapping between loads — then re-aggregated, including a
+    value parsed out of the round-tripped JSON. Doubles survive because
+    Spark writes shortest round-trip representations; the oracle computes
+    directly on the original parquet, so any quoting/precision loss in
+    the CSV hop fails the hash."""
+    out = _sink_dir(sf_dir, "events_csv")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(
+        "event_id bigint, event_type string, value double, props string"
+    ).option("header", True).csv(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_k"),
+    )
