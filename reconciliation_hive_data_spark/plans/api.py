@@ -24,6 +24,8 @@ oracle harness; users reconcile their own tables through this API::
     pair.row_hash_diff()  # md5 canonical row fingerprint mismatches
     pair.cell_diff()      # (key, column, src_val, tgt_val) mismatch rows
     pair.fingerprints()   # per-column algebraic fingerprints both sides
+    pair.drift("o_totalprice", width=50000.0)  # PSI distribution drift
+    pair.sample_audit("0")  # row-hash audit on a deterministic 1/16 sample
 
 Every report is algebraic/partially-aggregatable or a key-shuffled
 anti/inner join — the shapes that hold at 100 TB (SURVEY.md §7.3.7).
@@ -232,6 +234,51 @@ class ReconPair:
             F.when(F.abs(F.col("sval") - F.col("tval")) < 1e-9, "MATCH")
             .otherwise("FP_DIFF")
             .alias("status"),
+        )
+
+    def drift(self, value_col: str, width: float, top_bucket: int = 9) -> DataFrame:
+        """Distribution drift source↔target as per-bucket PSI contributions
+        (Σpsi > 0.2 = shifted, by the usual monitoring convention). The
+        cheap no-key-join tier: two aggregate scans however many rows
+        changed. Delegates to :func:`plans.recon_scale.psi_frame`, whose
+        sensitivity is pinned by a synthetic known-drift test."""
+        from .recon_scale import psi_frame
+
+        if value_col not in self.compare_cols:
+            raise ValueError(f"{value_col}: not a compare column")
+        return psi_frame(self.source, self.target, value_col, width, top_bucket)
+
+    def sample_audit(self, prefix: str = "0") -> DataFrame:
+        """Full-fidelity canonical-row-hash audit on a deterministic key
+        sample: keys whose md5 hex starts with ``prefix`` (1 char = 1/16 of
+        keys, 2 chars = 1/256, ...). No RNG state — the same keys sample on
+        every run and cluster size, so consecutive audits are comparable.
+        The predicate filters both sides BEFORE the join shuffle, so cost
+        tracks the sample fraction (the hourly-tier knob; the nightly full
+        run is :meth:`row_hash_diff`)."""
+        key = self.keys[0]
+        pred = F.substring(
+            F.md5(F.col(key).cast("string")), 1, len(prefix)
+        ) == prefix
+        cols = self._hash_cols()
+        src = self.source.filter(pred).select(
+            *self._key(), canonical_row_hash(cols).alias("h")
+        )
+        tgt = self.target.filter(pred).select(
+            *self._key(), canonical_row_hash(cols).alias("h")
+        )
+        s, t = src.alias("s"), tgt.alias("t")
+        sk, tk = F.col(f"s.{key}"), F.col(f"t.{key}")
+        status = (
+            F.when(tk.isNull(), "MISSING_IN_TARGET")
+            .when(sk.isNull(), "MISSING_IN_SOURCE")
+            .when(F.col("s.h") == F.col("t.h"), "MATCH")
+            .otherwise("MISMATCH")
+        )
+        return (
+            s.join(t, sk == tk, "full_outer")
+            .groupBy(status.alias("status"))
+            .agg(F.count("*").alias("n_keys"))
         )
 
     def summary(self) -> DataFrame:

@@ -469,3 +469,99 @@ def s_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# s_stateful_v2 — transformWithStateInPandas (Spark 4 arbitrary state v2)
+# ---------------------------------------------------------------------------
+
+_STATEFUL_V2_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def _state_v2_available() -> bool:
+    """transformWithStateInPandas speaks protobuf between the JVM and its
+    Python state server; without the google.protobuf runtime the query
+    crashes at plan time, so registration is gated on the import."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _register_if(available: bool, name: str, oracle: str):
+    if available:
+        return query(name, oracle=oracle)
+    return lambda fn: fn
+
+
+@_register_if(_state_v2_available(), "s_stateful_v2", _STATEFUL_V2_ORACLE)
+def s_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via the Spark 4 state-v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` with typed
+    ``ValueState``): a per-event-type accumulator carried across
+    micro-batches — the successor API to applyInPandasWithState
+    (s_stateful_custom keeps the v1 surface) with composite state types,
+    timers, and TTL. The replay covers the whole fixture, so final state
+    equals the batch aggregate and the custom-state path gets a full
+    oracle. Same exact-sum discipline: integer micro-units (value × 10⁶),
+    vectorized over each Arrow batch.
+
+    Registered only where google.protobuf is importable (the state-v2
+    plan-time schema handshake needs it); in this container it is absent,
+    so the v1 surface (s_stateful_custom) carries the driver row and this
+    function documents the forward path. tests/test_session_micro.py has
+    the gated smoke test."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n BIGINT, total_u BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total_u = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    total_u += int(
+                        (pdf["value"] * 1_000_000).round().astype("int64").sum()
+                    )
+            self.totals.update((n, total_u))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [total_u / 1_000_000.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    s = _events_stream(spark, sf_dir).select("event_type", "value")
+    out = s.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="event_type string, n_events bigint, sum_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    sunk = _run_update_to_memory(out, "s_stateful_v2")
+    # update-mode emits one row per (key, batch); keep each key's final row
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+    )

@@ -94,3 +94,44 @@ def test_bad_config_rejected(spark, sf_dir):
         ReconPair(orders, orders, ["o_orderkey"], {"o_totalprice": "money"})
     with pytest.raises(ValueError, match="not in source"):
         ReconPair(orders, orders, ["nope"], {"o_totalprice": "double"})
+
+
+def test_drift_clean_and_faulty(spark, sf_dir, orders_pair):
+    """Self-pair drifts exactly zero in every bucket; the faulty pair's
+    +1.0 price drift on 0.1% of keys is sub-threshold (PSI stays under
+    the 0.2 alerting line) — drift is the shape check, not the row check."""
+    clean = ReconPair(
+        source=orders_pair.source,
+        target=orders_pair.source,
+        keys=["o_orderkey"],
+        compare_cols={"o_totalprice": "double"},
+    )
+    assert all(
+        r.psi == 0.0 for r in clean.drift("o_totalprice", 50000.0).collect()
+    )
+    faulty = orders_pair.drift("o_totalprice", 50000.0).collect()
+    assert sum(r.psi for r in faulty) < 0.2
+
+    with pytest.raises(ValueError):
+        orders_pair.drift("o_orderkey", 50000.0)  # not a compare column
+
+
+def test_sample_audit_matches_fault_classes(spark, sf_dir, orders_pair):
+    """The 1/16 sample audit must see only the four known statuses, find a
+    MATCH majority, and — because the fixture's faults hit 0.1% of keys —
+    usually at least one non-MATCH class; crucially the self-pair audits
+    100% MATCH."""
+    clean = ReconPair(
+        source=orders_pair.source,
+        target=orders_pair.source,
+        keys=["o_orderkey"],
+        compare_cols={"o_totalprice": "double"},
+    )
+    rows = {r.status: r.n_keys for r in clean.sample_audit().collect()}
+    assert set(rows) == {"MATCH"}
+
+    audited = {r.status: r.n_keys for r in orders_pair.sample_audit().collect()}
+    assert set(audited) <= {
+        "MATCH", "MISMATCH", "MISSING_IN_SOURCE", "MISSING_IN_TARGET"
+    }
+    assert audited["MATCH"] > sum(v for k, v in audited.items() if k != "MATCH")

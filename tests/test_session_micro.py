@@ -61,3 +61,40 @@ def test_session_window_matches_lag_cumsum(spark):
     sizes = sorted(r.n for r in agg.collect())
     assert len(sizes) == EXPECTED_SESSIONS
     assert sizes == EXPECTED_SIZES
+
+
+def test_stateful_v2_registers_and_matches_batch_when_available(spark, sf_dir):
+    """transformWithStateInPandas needs the google.protobuf runtime; where
+    present the v2 accumulator must equal the batch aggregate (and must be
+    registered in the registry), where absent it must NOT be registered —
+    a registered-but-crashing query is the one unacceptable state."""
+    import pytest
+
+    from reconciliation_hive_data_spark import registry
+    from reconciliation_hive_data_spark.streaming.stream_ops import (
+        _state_v2_available,
+        s_stateful_v2,
+    )
+
+    registry.load_all_modules()
+    assert ("s_stateful_v2" in registry.REGISTRY) == _state_v2_available()
+    if not _state_v2_available():
+        pytest.skip("google.protobuf not importable; state-v2 gated off")
+    from pyspark.sql import functions as F
+
+    from reconciliation_hive_data_spark.catalog import load
+    got = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in s_stateful_v2(spark, sf_dir).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.s)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
