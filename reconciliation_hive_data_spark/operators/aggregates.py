@@ -566,3 +566,52 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode — deterministic statistical mode per group
+# ---------------------------------------------------------------------------
+
+# Native mode() leaves ties unspecified on both engines; the explicit
+# (count DESC, value ASC) rank pins one winner identically everywhere.
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS rnk
+  FROM c
+)
+SELECT event_type,
+       user_id AS modal_user,
+       n AS modal_count
+FROM r WHERE rnk = 1
+"""
+
+
+@query("agg_mode", oracle=_MODE_ORACLE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode (most frequent value) per group with a pinned tie
+    rule: native mode() picks an arbitrary winner among equal counts on
+    both engines, so the canonical form is count → rank by (count DESC,
+    value ASC) → keep rank 1 — deterministic everywhere, and the rank
+    window runs over the already-aggregated count table (distinct-pair
+    sized, ≪ data)."""
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk = 1")
+        .select(
+            "event_type",
+            F.col("user_id").alias("modal_user"),
+            F.col("n").alias("modal_count"),
+        )
+    )

@@ -340,3 +340,76 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.event_type").alias("first_type"),
         F.col("b.event_type").alias("next_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_range — point-in-interval join via bucketed interval explode
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH w AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR AS lo,
+         TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 7 HOUR
+           + INTERVAL 3 HOUR AS hi
+  FROM (SELECT unnest(range(0, 100)) AS i)
+)
+SELECT w.window_id,
+       COUNT(e.event_id) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+GROUP BY w.window_id
+"""
+
+
+@query("join_range", oracle=_RANGE_ORACLE)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join executed as an EQUI join: each interval
+    explodes into the hour buckets it covers, each point computes its
+    single hour bucket, they equi-join on the bucket, and the residual
+    range predicate filters within the bucket. An event's bucket is
+    unique, so every (event, window) pair matches at most once — no
+    post-join dedup. This is the scale pattern for the case join_theta's
+    broadcast BNL cannot handle: when the interval side is too big to
+    broadcast, bucketing turns the O(n·m) range join into a shuffle
+    hash/merge join whose cost tracks true overlap density. Interval
+    construction is in-plan (sequence + explode), never a driver loop."""
+    ev = load(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    w = (
+        spark.range(100)
+        .select(
+            F.col("id").cast("int").alias("window_id"),
+            (t0 + F.col("id") * F.expr("INTERVAL 7 HOURS")).alias("lo"),
+            (
+                t0
+                + F.col("id") * F.expr("INTERVAL 7 HOURS")
+                + F.expr("INTERVAL 3 HOURS")
+            ).alias("hi"),
+        )
+    )
+    # interval side: one row per covered hour bucket (sequence is inclusive,
+    # so an exclusive-end interval landing exactly on an hour boundary gets
+    # one extra bucket row — harmless: the residual predicate rejects it)
+    wb = w.select(
+        "window_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "lo"),
+                F.date_trunc("hour", F.col("hi") - F.expr("INTERVAL 1 SECOND")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    eb = ev.select(
+        "event_id", "value", "ts", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    j = eb.join(wb, "bucket").filter(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
+    )
+    return j.groupBy("window_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
