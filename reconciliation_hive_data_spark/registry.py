@@ -55,11 +55,15 @@ _MODULES = (
 
 # Queries whose physical plan was rewritten after their most recent external
 # verification row, keyed to the round of the rewrite.  They sort ahead of
-# unmodified already-verified queries until a row at-or-after that round
-# exists, then fall back into the normal rotation automatically.
+# unmodified already-verified queries (least-recently-verified first) until
+# a row at-or-after the rewrite round exists, then fall back into the
+# normal rotation automatically.
 _MODIFIED_IN_ROUND: dict[str, int] = {
-    "join_asof": 2,   # linear window plan replaced the join-based plan in r2
-    "join_self": 2,   # composite (user_id, bucket) equi-join key added in r2
+    "join_asof": 2,          # linear window plan replaced the join-based plan
+    "join_self": 2,          # composite (user_id, bucket) equi-join key added
+    "x_dedup_embed": 3,      # coordinate-bound prefilter before the cosine fold
+    "s_stateful_custom": 3,  # vectorized micro-unit accumulator
+    "x_decontaminate": 3,    # array-side gram totals (single explode)
 }
 
 _loaded = False
@@ -127,7 +131,8 @@ def ordered_names() -> list[str]:
         if last is None:
             return (0, 0, reg_index[n])
         if _MODIFIED_IN_ROUND.get(n, 0) > last:
-            return (1, 0, reg_index[n])
+            # among rewritten queries, the stalest row re-verifies first
+            return (1, last, reg_index[n])
         return (2, last, reg_index[n])
 
     return sorted(REGISTRY, key=key)
