@@ -1,0 +1,68 @@
+"""Unit tests for the registry's verification-rotation ordering — the
+mechanism that decides which queries an external correctness sweep with a
+bounded budget sees first. Load-bearing for the driver contract, so the
+ordering rules are pinned here without any Spark session.
+"""
+
+from __future__ import annotations
+
+from reconciliation_hive_data_spark import registry
+
+registry.load_all_modules()
+
+
+def _order_with(monkeypatch, rounds: dict[str, int], modified: dict[str, int]):
+    monkeypatch.setattr(registry, "_verified_rounds", lambda: rounds)
+    monkeypatch.setattr(registry, "_MODIFIED_IN_ROUND", modified)
+    return registry.ordered_names()
+
+
+def test_never_verified_sort_first_in_registration_order(monkeypatch):
+    names = list(registry.REGISTRY)
+    some_verified = {n: 1 for n in names[10:]}
+    order = _order_with(monkeypatch, some_verified, {})
+    assert order[:10] == names[:10]
+    assert all(n in some_verified for n in order[10:])
+
+
+def test_rewritten_queries_requeue_by_staleness(monkeypatch):
+    names = list(registry.REGISTRY)
+    a, b, c = names[0], names[1], names[2]
+    rounds = {n: 3 for n in names}
+    rounds[a], rounds[b], rounds[c] = 2, 1, 2
+    modified = {a: 3, b: 3, c: 3}
+    order = _order_with(monkeypatch, rounds, modified)
+    # b has the stalest row (r1) so it re-verifies first; a/c tie on round
+    # and fall back to registration order
+    assert order[:3] == [b, a, c]
+
+
+def test_rewrite_marker_expires_once_reverified(monkeypatch):
+    names = list(registry.REGISTRY)
+    a = names[0]
+    rounds = {n: 1 for n in names}
+    rounds[a] = 3  # a row at/after the rewrite round exists
+    order = _order_with(monkeypatch, rounds, {a: 3})
+    # a is the MOST recently verified → very back, not front
+    assert order[-1] == a
+
+
+def test_ordering_is_a_permutation_of_the_registry(monkeypatch):
+    names = list(registry.REGISTRY)
+    order = _order_with(monkeypatch, {names[5]: 2}, {})
+    assert sorted(order) == sorted(names)
+
+
+def test_live_ordering_matches_correctness_artifacts():
+    """With the real CORRECTNESS files on disk: every query with no row sorts
+    before every query with one (modified-marker holders excepted)."""
+    registry.load_all_modules()
+    rounds = registry._verified_rounds()
+    order = registry.ordered_names()
+    seen_verified = False
+    for n in order:
+        has_row = n in rounds
+        if not has_row:
+            assert not seen_verified, f"never-verified {n} after a verified query"
+        elif registry._MODIFIED_IN_ROUND.get(n, 0) <= rounds[n]:
+            seen_verified = True
