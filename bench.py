@@ -1,7 +1,15 @@
 """Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "n": passes, "full": "BENCH_FULL.json"}.
+
+The caller that records BENCH_r{N}.json keeps only the last ~2000 chars of
+stdout and tries to parse them; a line carrying all ~145 per-query medians
+is ~3.2 KB and can never fit (min encoding: 1.8 KB of names + 1.1 KB of
+punctuation/values). So the printed line is a bounded summary — totals,
+per-family subtotals, the slowest queries — guaranteed under 1900 chars,
+while the COMPLETE per-query medians (and raw per-pass samples) go to
+BENCH_FULL.json at the repo root, which rides along in version control.
 
 Each query is materialized via a cheap full-evaluation action
 (``df.write.format("noop")``) so timing covers the whole plan without
@@ -79,17 +87,54 @@ def main() -> None:
         )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    full = {
+        "metric": "total_wall_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n": n_passes,
+        "reps": reps,
+        "budget_sec": budget,
+        "failed": sorted(failed),
+        "samples": {k: [round(v, 3) for v in vs] for k, vs in samples.items()},
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, separators=(",", ":"))
+        fh.write("\n")
+
+    # Per-family subtotals (prefix before the first underscore) and the
+    # slowest queries: the most signal that fits in the bounded line.
+    groups: dict[str, float] = {}
+    for name, t in timings.items():
+        if t >= 0:
+            g = name.split("_", 1)[0]
+            groups[g] = round(groups.get(g, 0.0) + t, 3)
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1],
+        )[:12]
     )
+    summary = {
+        "metric": "total_wall_all_queries",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n": n_passes,
+        "nq": len(timings),
+        "nfail": len(failed),
+        "groups": groups,
+        "queries": slowest,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > 1900 and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
