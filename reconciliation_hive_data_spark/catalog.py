@@ -37,6 +37,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def events_ts_is_nanos(sf_dir: str) -> bool:
+    """True when ``events.ts`` is TIMESTAMP(NANOS) parquet (needs the
+    nanos-as-long legacy read + µs truncation), False when it is a native
+    µs/ms timestamp Spark reads directly. Fixture generations have shipped
+    both; probing the footer (a pyarrow metadata read, no data IO) keeps
+    every query working against either vintage."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, "events")
+    import os
+
+    if os.path.isdir(path):  # directory-partitioned dataset: probe one file
+        inner = next(
+            f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        )
+        path = os.path.join(path, inner)
+    field = pq.read_schema(path).field("ts")
+    return str(field.type) == "timestamp[ns]"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet is self-describing: schema comes from
     the footer, column pruning + predicate pushdown apply automatically.
@@ -52,6 +72,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        if not events_ts_is_nanos(sf_dir):
+            # Native µs timestamp: read directly; cast NTZ → TIMESTAMP so
+            # downstream semantics (window(), tz arithmetic) match the
+            # nanos vintage exactly. Session tz is UTC, so values are
+            # identical to both the NTZ reading and the DuckDB oracle.
+            df = spark.read.parquet(table_path(sf_dir, name))
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
         # Scope the legacy conf to this read: parquet schema inference is
         # eager (footer read at .parquet() time), so restoring afterwards
         # does not break later actions on the lazy DataFrame — and the

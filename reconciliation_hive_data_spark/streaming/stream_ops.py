@@ -28,6 +28,14 @@ _EVENTS_RAW_SCHEMA = (
     " value double, props string"
 )
 
+#: Schema for fixture vintages whose events.ts is a native µs timestamp
+#: (no nanos-as-long read needed; TimestampType matches the batch path's
+#: post-cast type so stream and batch twins stay value-identical).
+_EVENTS_TS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
 _counter = 0
 
 #: State-store partition count for the fixture-scale replays. Streaming
@@ -76,14 +84,20 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     so stream and batch twin see identical values). The explicit schema
     means no footer inference happens here; the nanos-as-long conf is
     applied by :class:`_stream_conf` around the actual micro-batch run."""
+    from reconciliation_hive_data_spark.catalog import events_ts_is_nanos
+
+    nanos = events_ts_is_nanos(sf_dir)
+    schema = _EVENTS_RAW_SCHEMA if nanos else _EVENTS_TS_SCHEMA
     # the file stream source wants a directory; glob-filter to the one table
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    if nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw
 
 
 def _run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
