@@ -59,8 +59,16 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
     budget = float(os.environ.get("SPARK_GRAFT_BUDGET", "600"))
+    # Dev-loop filter: SPARK_GRAFT_ONLY="q1,q2" times just those queries
+    # (comma-separated registry names). Unset (the driver's mode) = all.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    names = (
+        [n for n in (s.strip() for s in only_env.split(",")) if n]
+        if only_env
+        else list(registry.REGISTRY)
+    )
     t_start = time.perf_counter()
-    samples: dict[str, list[float]] = {name: [] for name in registry.REGISTRY}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     failed: set[str] = set()
     n_passes = 0
     for rep in range(reps):
@@ -71,7 +79,8 @@ def main() -> None:
             )
             break
         n_passes += 1
-        for name, spec in sorted(registry.REGISTRY.items()):
+        for name in sorted(names):
+            spec = registry.get(name)
             if name in failed:
                 continue
             t0 = time.perf_counter()
@@ -100,7 +109,9 @@ def main() -> None:
         "failed": sorted(failed),
         "samples": {k: [round(v, 3) for v in vs] for k, vs in samples.items()},
     }
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # Filtered dev runs must not clobber the driver's full artifact.
+    full_name = "BENCH_PARTIAL.json" if only_env else "BENCH_FULL.json"
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as fh:
         json.dump(full, fh, separators=(",", ":"))
         fh.write("\n")
@@ -128,7 +139,7 @@ def main() -> None:
         "nfail": len(failed),
         "groups": groups,
         "queries": slowest,
-        "full": "BENCH_FULL.json",
+        "full": full_name,
     }
     line = json.dumps(summary, separators=(",", ":"))
     while len(line) > 1900 and summary["queries"]:
