@@ -213,9 +213,18 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: 9.6M candidate pairs at sf0.1); 3-gram shingles are
     order-sensitive and near-unique across random docs, so candidates
     collapse to true near-dups (the same reason production dedup shingles
-    at n≥3)."""
+    at n≥3).
+
+    The shingle table is consumed THREE times (the signature aggregate and
+    both sides of the intersection verify), each behind a different shuffle
+    key — exchange reuse cannot unify them, so without an explicit persist
+    the scan + shingle explode runs three times (driver r4 bench: 9.1 s vs
+    3.7 s local). It is persisted for the duration of the query and
+    released after the (tiny) result is materialized. At 100 TB this is
+    the persisted-shingle-index pattern x_dedup_incremental already uses:
+    write the shingle index once, run every downstream pass against it."""
     d = documents_dup(spark, sf_dir)
-    toks = shingles3(d)
+    toks = shingles3(d).persist()
     # ALL 8 min-hashes + the shingle count in ONE groupBy(doc_id): each
     # permutation is just a different min-aggregate over the same shingle
     # rows, so there is no need to explode ×8 and shuffle (doc_id, i) pairs
@@ -265,9 +274,14 @@ def x_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).agg(F.count("*").alias("ninter"))
     )
     j = F.col("ninter").cast("double") / (F.col("na") + F.col("nb") - F.col("ninter"))
-    return inter.filter(j >= 0.5).select(
+    out = inter.filter(j >= 0.5).select(
         "doc_a", "doc_b", F.round(j, 6).alias("jaccard")
     )
+    # Materialize the pair result while the shingle cache is hot, then
+    # release the cache (same lifecycle as x_dedup_minhash_mllib).
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -344,8 +358,13 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: identical docs collide exactly; near-identical docs
     land within small Hamming distance. Emits same-signature (Hamming-0)
     pairs; the banded Hamming-≤3 neighborhood search is
-    x_dedup_simhash_banded (plans/lsh_variants.py)."""
-    sh = simhash_from_tokens(tokens(documents_dup(spark, sf_dir), distinct=True))
+    x_dedup_simhash_banded (plans/lsh_variants.py). The doc-count-sized
+    signature table is checkpointed before the self-join so the md5
+    aggregation chain runs once regardless of exchange-reuse (see the
+    banded variant's docstring for the measured driver-side cost)."""
+    sh = simhash_from_tokens(
+        tokens(documents_dup(spark, sf_dir), distinct=True)
+    ).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     return a.join(
         b,

@@ -94,8 +94,18 @@ def x_dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     agrees EXACTLY on at least one band — candidate generation is an equi
     join on (band, piece), never all-pairs. Candidates are then verified
     with bit_count(xor) ≤ 3. Identical bit ops on both engines ⇒ fully
-    hash-checked."""
-    sh = simhash_from_tokens(shingles3(documents_dup(spark, sf_dir)))
+    hash-checked.
+
+    The signature table is materialized (localCheckpoint) before the band
+    self-join: it is doc-count-sized (two columns), while its lineage —
+    shingle explode + 32-way md5 aggregate over the corpus — is the
+    expensive part. Without the checkpoint both join sides carry that
+    lineage and only AQE exchange reuse stops a double (or, post-AQE-replan,
+    triple) computation; reuse held in local runs but not under the
+    driver's loaded box (r4 bench: 18.3 s vs 2.0 s local). At 100 TB the
+    same move is writing the signature index once, never re-deriving it
+    per join side."""
+    sh = simhash_from_tokens(shingles3(documents_dup(spark, sf_dir))).localCheckpoint()
     pieces = sh.select(
         "doc_id",
         "simhash",

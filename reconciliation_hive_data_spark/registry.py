@@ -64,6 +64,9 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_dedup_embed": 3,      # coordinate-bound prefilter before the cosine fold
     "s_stateful_custom": 3,  # vectorized micro-unit accumulator
     "x_decontaminate": 3,    # array-side gram totals (single explode)
+    "x_dedup_near": 5,            # persisted shingle table + checkpointed result
+    "x_dedup_simhash": 5,         # checkpointed signature before self-join
+    "x_dedup_simhash_banded": 5,  # checkpointed signature before band join
 }
 
 _loaded = False

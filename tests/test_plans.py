@@ -57,12 +57,39 @@ def test_aggregate_is_two_phase(spark, sf_dir):
 def test_lsh_candidate_join_is_hash_join(spark, sf_dir):
     """The LSH candidate join must be an equi join on (band, sig) — a
     BroadcastNestedLoopJoin here means the blocking key got lost and the
-    operator went quadratic."""
-    from reconciliation_hive_data_spark.plans.llm import x_dedup_near
+    operator went quadratic. x_dedup_near materializes its result (its
+    shingle cache must be released eagerly), so the banded SimHash variant
+    — the same candidate-join shape, still lazy past its signature
+    checkpoint — carries the assertion."""
+    from reconciliation_hive_data_spark.plans.lsh_variants import (
+        x_dedup_simhash_banded,
+    )
 
-    p = plan(x_dedup_near(spark, sf_dir))
+    p = plan(x_dedup_simhash_banded(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_simhash_banded_signature_computed_once(spark, sf_dir):
+    """The SimHash signature chain (shingle explode + 32-way md5 aggregate)
+    must run exactly once: the band self-join reads a checkpointed
+    signature table from both sides. md5 appearing in the final plan means
+    the lineage leaked back in and each join side recomputes the corpus
+    chain (the r4-bench 18 s regression shape)."""
+    from reconciliation_hive_data_spark.plans.lsh_variants import (
+        x_dedup_simhash_banded,
+    )
+
+    import re
+
+    p = plan(x_dedup_simhash_banded(spark, sf_dir))
+    assert "ExistingRDD" in p  # both join sides scan the checkpoint
+    assert "md5" not in p  # the signature chain ran at checkpoint time
+    # at most the candidate-distinct shuffle (band join broadcasts at test
+    # sf; at worst it shuffles both sides) — more shuffles means a join
+    # side re-derived the signature chain
+    n_shuffles = len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M))
+    assert n_shuffles <= 3
 
 
 def test_asof_is_linear_window_not_join(spark, sf_dir):
