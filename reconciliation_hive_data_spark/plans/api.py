@@ -284,7 +284,18 @@ class ReconPair:
     def summary(self) -> DataFrame:
         """One row per check with its violation count — the report header a
         reconciliation run prints first. Each count is a tiny aggregate over
-        an already-distributed check."""
+        an already-distributed check.
+
+        Both sides are persisted for the duration of the report: the six
+        checks consume source and target twelve times behind different
+        shuffle keys, so without the cache every check re-scans the input
+        (and re-derives the target's fault-injection chain). The 6-row
+        report is materialized eagerly and the cache released — the same
+        persist-fanout-release lifecycle as the dedup signature tables. At
+        100 TB the equivalent is staging both sides once (DISK_ONLY or a
+        temp table) before fanning out the checks."""
+        self.source = self.source.persist()
+        self.target = self.target.persist()
         checks = {
             "count_diff_grains": self.row_counts(None).filter("status != 'MATCH'"),
             "keys_missing": self.key_diff(),
@@ -300,9 +311,12 @@ class ReconPair:
             for name, df in checks.items()
         ]
         report = reduce(lambda a, b: a.unionByName(b), parts)
-        return report.withColumn(
+        report = report.withColumn(
             "status", F.when(F.col("violations") == 0, "MATCH").otherwise("DIFF")
-        )
+        ).localCheckpoint()
+        self.source.unpersist()
+        self.target.unpersist()
+        return report
 
 
 def _summary_oracle() -> str:

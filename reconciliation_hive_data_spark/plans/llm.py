@@ -502,12 +502,16 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-wide fold runs only on the few survivors — exactness is untouched
     because the bound can only pass pairs, never reject a qualifying one.
     Measured 4.8s → ~3.1s at sf0.1 (random coords make each check ~80%
-    selective; the residual cost is the join itself)."""
+    selective; the residual cost is the join itself).
+
+    The norm table is checkpointed before the self-join: its lineage (a
+    64-wide fold per row plus the scan) would otherwise run once per join
+    side, gated only by exchange reuse (see x_dedup_simhash_banded)."""
     e = embeddings_dup(spark, sf_dir)
     n = e.withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
     n = n.withColumn("c0", F.element_at("embedding", 1) / F.col("nrm")).withColumn(
         "c1", F.element_at("embedding", 2) / F.col("nrm")
-    )
+    ).localCheckpoint()
     a = n.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label"),
