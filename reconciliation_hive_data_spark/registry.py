@@ -61,12 +61,13 @@ _MODULES = (
 _MODIFIED_IN_ROUND: dict[str, int] = {
     "join_asof": 2,          # linear window plan replaced the join-based plan
     "join_self": 2,          # composite (user_id, bucket) equi-join key added
-    "x_dedup_embed": 3,      # coordinate-bound prefilter before the cosine fold
+    "x_dedup_embed": 5,      # checkpointed norm table before the pair join
     "s_stateful_custom": 3,  # vectorized micro-unit accumulator
     "x_decontaminate": 3,    # array-side gram totals (single explode)
     "x_dedup_near": 5,            # persisted shingle table + checkpointed result
     "x_dedup_simhash": 5,         # checkpointed signature before self-join
     "x_dedup_simhash_banded": 5,  # checkpointed signature before band join
+    "recon_api_summary": 5,       # persisted sides across the six-check fan-out
 }
 
 _loaded = False
