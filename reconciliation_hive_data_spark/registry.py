@@ -51,6 +51,7 @@ _MODULES = (
     "reconciliation_hive_data_spark.plans.pipeline_ops",
     "reconciliation_hive_data_spark.plans.recon_scale",
     "reconciliation_hive_data_spark.plans.corpus_ops",
+    "reconciliation_hive_data_spark.plans.tpch",
 )
 
 # Queries whose physical plan was rewritten after their most recent external

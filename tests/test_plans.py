@@ -327,3 +327,35 @@ def test_partition_complete_calendar_is_not_a_driver_loop(spark, sf_dir):
     p = plan(recon_partition_complete(spark, sf_dir))
     assert "Generate" in p
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    """Q6 is the pushdown litmus: every predicate is scan-pushable and the
+    read schema needs only the four referenced columns."""
+    from reconciliation_hive_data_spark.plans.tpch import tpch_q6
+
+    p = plan(tpch_q6(spark, sf_dir))
+    pushed = p.split("PushedFilters")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_tpch_q5_star_join_broadcasts_all_dims(spark, sf_dir):
+    """The six-table star must broadcast every dimension side — the only
+    shuffle-joined input pair is lineitem⋈orders."""
+    from reconciliation_hive_data_spark.plans.tpch import tpch_q5
+
+    p = plan(tpch_q5(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q18_having_is_semi_join_not_distinct_join(spark, sf_dir):
+    """The qualifying-order subquery must reach lineitem as a left-semi
+    join (one pass, no duplicate blowup)."""
+    from reconciliation_hive_data_spark.plans.tpch import tpch_q18
+
+    p = plan(tpch_q18(spark, sf_dir))
+    assert "LeftSemi" in p
