@@ -1,0 +1,361 @@
+"""Mergeable probabilistic sketches, md5-derived for cross-engine exactness.
+
+Three sketch operators with the associative-merge shape that matters at
+100 TB (each partition builds a partial sketch; partials merge with
+bit_or / sum / max — all algebraic, all map-side-combining):
+
+- ``sketch_bloom`` — an 8192-bit / 4-hash Bloom filter over the orders
+  customer set, probed by the customer dimension. The filter is 256
+  32-bit words built with ``bit_or`` — the membership pre-filter that
+  replaces a full anti-join when the key set fits in a few KB per
+  executor. (Words are 32-bit on purpose: DuckDB range-checks 1<<63
+  where Spark wraps; shifts <= 31 behave identically on both.)
+- ``sketch_cms`` — a depth-4 × width-256 count-min sketch of per-user
+  event counts. Point estimates = min over rows; overestimates only —
+  the heavy-hitter / frequency primitive when exact per-key counts would
+  shuffle the world.
+- ``sketch_hll`` — a 64-register HyperLogLog-style distinct estimator
+  (register max of md5-bit-run lengths). The register table merges with
+  MAX; the raw-estimate harmonic sum is evaluated by an ORDERED fold over
+  the 64 registers so both engines add the same doubles in the same order.
+
+Unlike the built-in approx aggregates (HLL++/CountMinSketch in Spark,
+approx_count_distinct in DuckDB — implementation-defined, hence
+``agg_approx`` is rows-only), these derive every hash from md5 shared by
+both engines, so row counts, schemas AND values hash-match: the sketches
+themselves are the verified artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# sketch_bloom — 8192-bit / 4-hash Bloom filter, built + probed
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 4
+
+
+def _bloom_pos_spark(key, i: int):
+    """Bit position of hash i for a (string-cast) key — md5-derived."""
+    h = F.md5(F.concat_ws(":", F.lit(str(i)), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % _BLOOM_BITS)
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{i}:' || CAST({key} AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {_BLOOM_BITS})"
+    )
+
+
+_BLOOM_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT o_custkey FROM orders),
+bits AS (
+  SELECT {_bloom_pos_sql('o_custkey', 0)} AS pos FROM keys
+  UNION ALL SELECT {_bloom_pos_sql('o_custkey', 1)} FROM keys
+  UNION ALL SELECT {_bloom_pos_sql('o_custkey', 2)} FROM keys
+  UNION ALL SELECT {_bloom_pos_sql('o_custkey', 3)} FROM keys
+),
+bloom AS (
+  SELECT pos // 32 AS word, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS w
+  FROM bits GROUP BY pos // 32
+),
+probes AS (
+  SELECT c_custkey,
+         {_bloom_pos_sql('c_custkey', 0)} AS p0,
+         {_bloom_pos_sql('c_custkey', 1)} AS p1,
+         {_bloom_pos_sql('c_custkey', 2)} AS p2,
+         {_bloom_pos_sql('c_custkey', 3)} AS p3
+  FROM customer
+),
+checked AS (
+  SELECT c_custkey,
+         (COALESCE((b0.w >> CAST(p0 % 32 AS INTEGER)) & 1, 0) = 1 AND
+          COALESCE((b1.w >> CAST(p1 % 32 AS INTEGER)) & 1, 0) = 1 AND
+          COALESCE((b2.w >> CAST(p2 % 32 AS INTEGER)) & 1, 0) = 1 AND
+          COALESCE((b3.w >> CAST(p3 % 32 AS INTEGER)) & 1, 0) = 1) AS maybe,
+         EXISTS (SELECT 1 FROM keys k WHERE k.o_custkey = c_custkey) AS actual
+  FROM probes
+  LEFT JOIN bloom b0 ON b0.word = p0 // 32
+  LEFT JOIN bloom b1 ON b1.word = p1 // 32
+  LEFT JOIN bloom b2 ON b2.word = p2 // 32
+  LEFT JOIN bloom b3 ON b3.word = p3 // 32
+)
+SELECT CASE WHEN maybe AND actual THEN 'TRUE_POSITIVE'
+            WHEN maybe AND NOT actual THEN 'FALSE_POSITIVE'
+            ELSE 'TRUE_NEGATIVE' END AS verdict,
+       COUNT(*) AS n
+FROM checked GROUP BY 1
+"""
+
+
+@query("sketch_bloom", oracle=_BLOOM_ORACLE)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-filter: build an 8192-bit / 4-hash
+    filter over the ordering-customer key set (256 32-bit words via
+    bit_or — associative, partials merge for free), probe every customer,
+    and cross-check against true membership: TRUE_POSITIVE /
+    FALSE_POSITIVE / TRUE_NEGATIVE counts. No false negatives by
+    construction — the invariant the pre-filter use case (skip the big
+    join for definite non-members) rests on. The md5-derived positions
+    make filter and verdicts bit-identical on both engines.
+
+    At 100 TB: the 1 KB filter broadcasts; the probe is a narrow map. The
+    word-table formulation (vs a single array) keeps the build a plain
+    groupBy(word) — no driver-side aggregation, unlike
+    DataFrame.stat.bloomFilter which collects to the driver."""
+    keys = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().localCheckpoint()
+    )
+    bits = None
+    for i in range(_BLOOM_HASHES):
+        part = keys.select(_bloom_pos_spark(F.col("o_custkey"), i).alias("pos"))
+        bits = part if bits is None else bits.unionAll(part)
+    bloom = (
+        bits.withColumn("word", (F.col("pos") / 32).cast("bigint"))
+        .withColumn("bit", (F.col("pos") % 32).cast("int"))
+        .groupBy("word")
+        # F.shiftleft requires a literal shift amount; the SQL form takes a column
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("w"))
+    )
+    probes = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        *[
+            _bloom_pos_spark(F.col("c_custkey"), i).alias(f"p{i}")
+            for i in range(_BLOOM_HASHES)
+        ],
+    )
+    checked = probes
+    maybe = F.lit(True)
+    for i in range(_BLOOM_HASHES):
+        b = bloom.select(
+            F.col("word").alias(f"word{i}"), F.col("w").alias(f"w{i}")
+        )
+        checked = checked.join(
+            F.broadcast(b),
+            (F.col(f"p{i}") / 32).cast("bigint") == F.col(f"word{i}"),
+            "left",
+        )
+        bit_set = F.expr(f"(shiftright(w{i}, CAST(p{i} % 32 AS INT)) & 1) = 1")
+        maybe = maybe & F.coalesce(bit_set, F.lit(False))
+    actual = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    checked = checked.withColumn("maybe", maybe).join(
+        actual.distinct().withColumn("actual", F.lit(True)), "c_custkey", "left"
+    )
+    return (
+        checked.withColumn("actual", F.coalesce("actual", F.lit(False)))
+        .select(
+            F.when(F.col("maybe") & F.col("actual"), "TRUE_POSITIVE")
+            .when(F.col("maybe") & ~F.col("actual"), "FALSE_POSITIVE")
+            .otherwise("TRUE_NEGATIVE")
+            .alias("verdict")
+        )
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms — depth-4 × width-256 count-min sketch of per-user event counts
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def _cms_pos_sql(key: str, d: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{d}:' || CAST({key} AS VARCHAR)), 1, 4))::BIGINT"
+        f" % {_CMS_WIDTH})"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH rows_exploded AS (
+  SELECT d.d AS d,
+         CASE d.d
+           WHEN 0 THEN {_cms_pos_sql('user_id', 0)}
+           WHEN 1 THEN {_cms_pos_sql('user_id', 1)}
+           WHEN 2 THEN {_cms_pos_sql('user_id', 2)}
+           ELSE {_cms_pos_sql('user_id', 3)}
+         END AS pos
+  FROM events CROSS JOIN (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) d
+),
+cms AS (SELECT d, pos, COUNT(*) AS cnt FROM rows_exploded GROUP BY d, pos),
+probe_keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 100),
+probe_pos AS (
+  SELECT user_id, d.d AS d,
+         CASE d.d
+           WHEN 0 THEN {_cms_pos_sql('user_id', 0)}
+           WHEN 1 THEN {_cms_pos_sql('user_id', 1)}
+           WHEN 2 THEN {_cms_pos_sql('user_id', 2)}
+           ELSE {_cms_pos_sql('user_id', 3)}
+         END AS pos
+  FROM probe_keys CROSS JOIN (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) d
+),
+est AS (
+  SELECT p.user_id, MIN(c.cnt) AS est_count
+  FROM probe_pos p JOIN cms c ON c.d = p.d AND c.pos = p.pos
+  GROUP BY p.user_id
+),
+actual AS (
+  SELECT user_id, COUNT(*) AS true_count FROM events
+  WHERE user_id < 100 GROUP BY user_id
+)
+SELECT e.user_id, e.est_count, a.true_count
+FROM est e JOIN actual a ON a.user_id = e.user_id
+"""
+
+
+@query("sketch_cms", oracle=_CMS_ORACLE)
+def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event counts (depth 4 × width 256,
+    md5-derived row hashes), probed for every user_id < 100 and reported
+    against the exact count. est >= true always; the gap measures
+    collision pressure at this width — the sketch table (<=1024 rows)
+    replaces a full per-key count when keys are legion and only heavy
+    hitters matter. Build is one explode(×4) + groupBy — partial sketches
+    from different partitions merge by summing cells. Identical md5
+    positions both engines ⇒ identical estimates, full hash-check."""
+    ev = load(spark, sf_dir, "events")
+    d = F.explode(F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))).alias("d")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("d"), F.col("user_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+    cms = (
+        ev.select("user_id", d)
+        .withColumn("pos", pos)
+        .groupBy("d", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") < 100)
+        .select("user_id")
+        .distinct()
+        .select("user_id", d)
+        .withColumn("pos", pos)
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["d", "pos"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    actual = (
+        ev.filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(actual, "user_id").select("user_id", "est_count", "true_count")
+
+
+# ---------------------------------------------------------------------------
+# sketch_hll — 64-register HLL-style distinct estimator (md5 bit runs)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 from the HLL paper (0.7213 / (1 + 1.079/m))
+
+_HLL_ORACLE = f"""
+WITH hashed AS (
+  SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 2))::BIGINT
+           % {_HLL_M} AS reg,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 3, 12))::BIGINT AS v
+  FROM lineitem
+),
+rho AS (
+  SELECT reg,
+         MAX(CASE WHEN v = 0 THEN 49 ELSE 48 - length(bin(v)) + 1 END) AS max_rho
+  FROM hashed GROUP BY reg
+),
+regs AS (
+  SELECT g.reg, COALESCE(r.max_rho, 0) AS max_rho
+  FROM (SELECT unnest(range(0, {_HLL_M})) AS reg) g
+  LEFT JOIN rho r ON r.reg = g.reg
+),
+folded AS (
+  SELECT list_reduce(
+           list(pow(2.0, -CAST(max_rho AS DOUBLE)) ORDER BY reg),
+           (x, y) -> x + y
+         ) AS z,
+         COUNT(CASE WHEN max_rho > 0 THEN 1 END) AS n_populated
+  FROM regs
+),
+exact AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+SELECT CAST({_HLL_M} AS BIGINT) AS m,
+       n_populated,
+       ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z, 4) AS raw_estimate,
+       exact_distinct
+FROM folded CROSS JOIN exact
+"""
+
+
+@query("sketch_hll", oracle=_HLL_ORACLE)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct estimate of lineitem part keys with 64
+    registers: register = md5[0:2] % 64, rho = leading-zero run (+1) of
+    the next 48 md5 bits, computed INTEGER-ONLY via the binary-string
+    length (no float log2 — engines could round differently at powers of
+    two). Registers merge with MAX (the mergeable-sketch property); the
+    harmonic sum folds the 64 per-register doubles in register order on
+    both engines (sorted fold — the x_domain_mix normalizer pattern), so
+    the raw estimate is bit-identical cross-engine. Reported beside the
+    exact distinct count; no small/large-range bias correction — this
+    pins the sketch shape, agg_approx carries the production HLL++.
+
+    At 100 TB: one narrow map + a 64-group MAX aggregate; the register
+    table is bytes-sized and merges across days/shards by the same MAX."""
+    li = load(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_partkey").cast("string"))
+    hashed = li.select(
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias("reg"),
+        F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint").alias("v"),
+    )
+    rho = hashed.groupBy("reg").agg(
+        F.max(
+            F.when(F.col("v") == 0, 49).otherwise(
+                48 - F.length(F.conv(F.col("v"), 10, 2)) + 1
+            )
+        ).alias("max_rho")
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("reg"))
+    regs = grid.join(rho, "reg", "left").select(
+        "reg", F.coalesce("max_rho", F.lit(0)).alias("max_rho")
+    )
+    folded = regs.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("reg", "max_rho"))),
+                lambda s: F.pow(F.lit(2.0), -s.max_rho.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z"),
+        F.count(F.when(F.col("max_rho") > 0, 1)).alias("n_populated"),
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    return folded.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).cast("bigint").alias("m"),
+        "n_populated",
+        F.round(F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z"), 4).alias(
+            "raw_estimate"
+        ),
+        "exact_distinct",
+    )

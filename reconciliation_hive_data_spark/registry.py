@@ -52,6 +52,7 @@ _MODULES = (
     "reconciliation_hive_data_spark.plans.recon_scale",
     "reconciliation_hive_data_spark.plans.corpus_ops",
     "reconciliation_hive_data_spark.plans.tpch",
+    "reconciliation_hive_data_spark.plans.sketches",
 )
 
 # Queries whose physical plan was rewritten after their most recent external
