@@ -482,3 +482,93 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_lambda — higher-order array lambdas: exists / forall / filter (round 5)
+# ---------------------------------------------------------------------------
+
+_FN_LAMBDA_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive,
+       len(list_filter(embedding, x -> x > 2.5)) > 0 AS has_large,
+       len(list_filter(embedding, x -> NOT (abs(x) <= 10))) = 0 AS all_bounded,
+       CAST(list_position(embedding, list_max(embedding)) - 1 AS INTEGER)
+         AS argmax_pos
+FROM embeddings WHERE vec_id < 500
+"""
+
+
+@query("fn_lambda", oracle=_FN_LAMBDA_ORACLE)
+def fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas beyond fn_array's fold/zip surface:
+    exists (any coordinate > 2.5), forall (all |x| <= 10), filter + size
+    (positive-coordinate count), and argmax via array_position of the max
+    — each runs element-wise inside codegen, no explode, no shuffle.
+    DuckDB lacks exists/forall, so its twin re-derives both through
+    list_filter lengths — a cross-implementation semantic check. Float
+    comparisons are exact (same IEEE values both engines); outputs are
+    ints/bools only."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n_dims"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_positive"),
+        F.exists(emb, lambda x: x > 2.5).alias("has_large"),
+        F.forall(emb, lambda x: F.abs(x) <= 10).alias("all_bounded"),
+        (F.array_position(emb, F.array_max(emb)) - 1)
+        .cast("int")
+        .alias("argmax_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_struct — struct build / field access / nested compare (round 5)
+# ---------------------------------------------------------------------------
+
+_FN_STRUCT_ORACLE = """
+WITH s AS (
+  SELECT o_orderkey,
+         {'status': o_orderstatus,
+          'priority': o_orderpriority,
+          'total_cents': CAST(round(o_totalprice * 100) AS BIGINT)} AS meta
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderkey,
+       meta.status AS status,
+       meta.priority AS priority,
+       meta.total_cents AS total_cents,
+       meta = {'status': 'O',
+               'priority': meta.priority,
+               'total_cents': meta.total_cents} AS is_open
+FROM s
+"""
+
+
+@query("fn_struct", oracle=_FN_STRUCT_ORACLE)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct surface: named_struct construction, dotted field access, and
+    whole-struct equality (structural compare — the nested-type primitive
+    under typed multimodal metadata columns). The money field rides as
+    integer cents so the struct compare is exact on both engines."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    meta = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    s = o.select("o_orderkey", meta.alias("meta"))
+    twin = F.struct(
+        F.lit("O").alias("status"),
+        F.col("meta.priority").alias("priority"),
+        F.col("meta.total_cents").alias("total_cents"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("meta.status").alias("status"),
+        F.col("meta.priority").alias("priority"),
+        F.col("meta.total_cents").alias("total_cents"),
+        (F.col("meta") == twin).alias("is_open"),
+    )

@@ -236,3 +236,69 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_text — line-oriented text source (round 5)
+# ---------------------------------------------------------------------------
+
+_SCAN_TEXT_ORACLE = """
+SELECT doc_id, text FROM documents WHERE doc_id < 200
+"""
+
+
+@query("scan_text", oracle=_SCAN_TEXT_ORACLE)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-file source: write a doc slice as one tab-separated line per
+    document, read it back with the line reader, re-split. Text is the
+    rawest corpus interchange format; the round trip is lossless here
+    because the fixture text contains neither tabs nor newlines, so the
+    read-back set hash-matches the parquet-derived oracle exactly. At
+    100 TB the same reader streams line-splittable shards in parallel —
+    one task per 128 MB split, no footer required."""
+    path = _sink_dir(sf_dir, "text_docs")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    tab = F.instr("value", "\t")
+    return back.select(
+        F.substring("value", 1, tab - 1).cast("bigint").alias("doc_id"),
+        F.substring("value", tab + 1, F.length("value")).alias("text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_binaryfile — whole-file binary source (round 5)
+# ---------------------------------------------------------------------------
+
+_SCAN_BINARY_ORACLE = """
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(SUM(length(CAST(doc_id AS VARCHAR) || '	' || text) + 1) AS BIGINT)
+         AS total_bytes
+FROM documents WHERE doc_id < 200
+"""
+
+
+@query("scan_binaryfile", oracle=_SCAN_BINARY_ORACLE)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary-file source — the multimodal ingestion entry point
+    (images/audio arrive as whole files, not rows). Writes the scan_text
+    slice as ONE file (coalesce(1) pins the file count), reads it back via
+    the binaryFile reader, and reports file count + total payload bytes.
+    Bytes are line-content-derived (sum of line length + newline), so the
+    oracle recomputes them from the table regardless of row order inside
+    the file. At 100 TB: binaryFile gives (path, length, content) per
+    file with one task per file — pair it with mapInPandas decoders
+    (x_multimodal_binary) for the decode stage."""
+    path = _sink_dir(sf_dir, "binary_docs")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
+    ).coalesce(1).write.mode("overwrite").text(path)
+    files = spark.read.format("binaryFile").load(path)
+    return files.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+    )
