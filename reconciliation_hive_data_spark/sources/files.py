@@ -302,3 +302,49 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_files"),
         F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_jdbc — JDBC source/sink round trip with a partitioned read (round 5)
+# ---------------------------------------------------------------------------
+
+_SCAN_JDBC_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@query("scan_jdbc", oracle=_SCAN_JDBC_ORACLE)
+def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC connector round trip against the embedded Derby engine that
+    ships on Spark's classpath: write the nation dim to a JDBC table, read
+    it back as a PARTITIONED scan (partitionColumn/numPartitions=4 — four
+    concurrent connections each fetching a key range, the pattern that
+    parallelizes RDBMS extraction at scale). The in-memory Derby URL is
+    single-JVM, which local mode satisfies; on a real cluster the same
+    code points at a networked RDBMS — only the URL changes. Lossless
+    round trip ⇒ full oracle against the original parquet."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    url = f"jdbc:derby:memory:rhds_{tag};create=true"
+    n = load(spark, sf_dir, "nation")
+    (
+        n.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .option("driver", _DERBY_DRIVER)
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0")
+        .option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load()
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
