@@ -53,6 +53,7 @@ _MODULES = (
     "reconciliation_hive_data_spark.plans.corpus_ops",
     "reconciliation_hive_data_spark.plans.tpch",
     "reconciliation_hive_data_spark.plans.sketches",
+    "reconciliation_hive_data_spark.functions.modern",
 )
 
 # Queries whose physical plan was rewritten after their most recent external
