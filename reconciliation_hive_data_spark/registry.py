@@ -54,6 +54,7 @@ _MODULES = (
     "reconciliation_hive_data_spark.plans.tpch",
     "reconciliation_hive_data_spark.plans.sketches",
     "reconciliation_hive_data_spark.functions.modern",
+    "reconciliation_hive_data_spark.sources.python_ds",
 )
 
 # Queries whose physical plan was rewritten after their most recent external
