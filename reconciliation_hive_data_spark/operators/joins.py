@@ -373,7 +373,18 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast BNL cannot handle: when the interval side is too big to
     broadcast, bucketing turns the O(n·m) range join into a shuffle
     hash/merge join whose cost tracks true overlap density. Interval
-    construction is in-plan (sequence + explode), never a driver loop."""
+    construction is in-plan (sequence + explode), never a driver loop.
+
+    The grid width is chosen FROM the interval-length statistics (mean
+    length rounded to whole hours, floor 1h) rather than fixed: a grid
+    much finer than the intervals multiplies the exploded interval rows
+    (24× for 1-day intervals on an hourly grid), one much coarser packs
+    many events per bucket and the residual filter does the work the join
+    key should have. Sizing the grid to the data keeps each interval at
+    <= 2 bucket rows at any interval scale. The stat is a single-row
+    aggregate over the dimension-sized interval table read driver-side —
+    the same cardinality-statistic pattern a cost-based optimizer uses to
+    pick a physical plan."""
     ev = load(spark, sf_dir, "events")
     t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
     w = (
@@ -388,24 +399,25 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hi"),
         )
     )
-    # interval side: one row per covered hour bucket (sequence is inclusive,
-    # so an exclusive-end interval landing exactly on an hour boundary gets
-    # one extra bucket row — harmless: the residual predicate rejects it)
+    avg_len_s = w.agg(
+        F.avg(F.unix_timestamp("hi") - F.unix_timestamp("lo")).alias("s")
+    ).first()["s"]
+    width_s = 3600 * max(1, round(avg_len_s / 3600))  # fixture: 3h intervals → 3h grid
+    bucket_of = lambda c: F.floor(F.unix_timestamp(c) / width_s)  # noqa: E731
+    # interval side: one row per covered grid cell (end exclusive, so an
+    # interval ending exactly on a cell boundary contributes no row there)
     wb = w.select(
         "window_id",
         "lo",
         "hi",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", "lo"),
-                F.date_trunc("hour", F.col("hi") - F.expr("INTERVAL 1 SECOND")),
-                F.expr("INTERVAL 1 HOUR"),
+                bucket_of("lo"),
+                bucket_of(F.col("hi") - F.expr("INTERVAL 1 SECOND")),
             )
         ).alias("bucket"),
     )
-    eb = ev.select(
-        "event_id", "value", "ts", F.date_trunc("hour", "ts").alias("bucket")
-    )
+    eb = ev.select("event_id", "value", "ts", bucket_of("ts").alias("bucket"))
     j = eb.join(wb, "bucket").filter(
         (F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi"))
     )
