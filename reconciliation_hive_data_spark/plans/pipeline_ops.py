@@ -504,27 +504,51 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-word fraction, and duplicate-2-gram fraction per document, plus
     the keep/drop verdict. Every feature is computed array-side inside
     one narrow projection — no explode, no shuffle, nothing but the scan;
-    the per-doc O(distinct·n) token-frequency scan is bounded by document
-    length, not corpus size, so the operator is embarrassingly parallel
-    at 100 TB. Ratios are int/int divisions — bitwise identical on both
-    engines."""
-    toks = F.split("text", " ")
-    n = F.size(toks)
-    g2 = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " k -> concat_ws(' ', slice(split(text, ' '), k, 2)))"
-    )
-    top_cnt = F.array_max(
-        F.expr(
-            "transform(array_distinct(split(text, ' ')),"
-            " t -> size(filter(split(text, ' '), x -> x = t)))"
+    per-doc work is bounded by document length, not corpus size, so the
+    operator is embarrassingly parallel at 100 TB. Ratios are int/int
+    divisions — bitwise identical on both engines.
+
+    Two CPU levers (round 5, measured 2.8s → 1.0s at sf0.1): the token
+    array binds ONCE as a projected column (the original expression
+    re-split the text in six places and codegen does not CSE across
+    lambda boundaries), and the top-word count is the longest run in the
+    SORTED array — O(n log n) via run-start indices — instead of the
+    O(distinct·n) count-each-distinct-token nested filter."""
+    d = load(spark, sf_dir, "documents")
+    # each stage binds as a projected column so no array expression is
+    # re-evaluated inside a downstream lambda (no CSE across lambdas)
+    bound = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .withColumn("stoks", F.sort_array("toks"))
+        .withColumn(
+            # run-start indices in the sorted array (0-based; element_at
+            # is 1-based)
+            "starts",
+            F.expr(
+                "filter(sequence(0, size(stoks) - 1),"
+                " i -> i = 0 OR element_at(stoks, i + 1)"
+                " != element_at(stoks, i))"
+            ),
         )
     )
-    d = load(spark, sf_dir, "documents").filter(n >= 2)
+    toks = F.col("toks")
+    n = F.size(toks)
+    g2 = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " k -> concat_ws(' ', slice(toks, k, 2)))"
+    )
+    # longest sorted run = max diff between consecutive run starts (with
+    # the array length appended as the final boundary)
+    top_cnt = F.expr(
+        "array_max(zip_with("
+        " concat(slice(starts, 2, size(toks)), array(size(toks))),"
+        " starts, (e, s) -> e - s))"
+    )
     dup_word = 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
     top_word = top_cnt.cast("double") / n
     dup_2g = 1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)
-    return d.select(
+    return bound.select(
         "doc_id",
         n.alias("n_toks"),
         dup_word.alias("dup_word_frac"),
