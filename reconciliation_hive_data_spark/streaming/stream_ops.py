@@ -579,3 +579,70 @@ def s_stateful_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# s_checkpoint_resume — incremental availableNow runs over one checkpoint
+# ---------------------------------------------------------------------------
+
+_CKPT_RESUME_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("s_checkpoint_resume", oracle=_CKPT_RESUME_ORACLE)
+def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion via checkpoint resume — the periodic-batch
+    streaming pattern (run AvailableNow on a schedule; each run processes
+    ONLY files that arrived since the last, exactly once): stage half the
+    events, run a stream into a parquet sink with a checkpoint, stage the
+    other half, run the SAME stream again over the same checkpoint. The
+    second run's source offset log skips batch one's files, yet the sink
+    must aggregate to exactly the full batch result — duplicates would
+    mean the checkpoint failed to deduplicate the replay, gaps would mean
+    the new files were missed. Dirs are cleaned per call so every bench
+    reps sees the same two-step story."""
+    import shutil
+
+    base = f"/tmp/rhds_sinks/{os.path.basename(sf_dir.rstrip('/'))}/ckpt_resume"
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/batch1")
+    # parquet ts is already µs-normalized by catalog.load ⇒ plain ts schema
+    stream = (
+        spark.readStream.schema(_EVENTS_TS_SCHEMA)
+        .format("parquet")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+
+    def run_once() -> None:
+        with _stream_conf(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_once()
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/batch2")
+    run_once()
+    return (
+        spark.read.schema(_EVENTS_TS_SCHEMA)
+        .parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
