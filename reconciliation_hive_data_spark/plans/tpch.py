@@ -635,3 +635,277 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit (no partsupp -> revenue-only profit measure)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT nation, o_year, {money_sum_sql(_REV_SQL, 'sum_profit')}
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice, l_discount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("tpch_q9", oracle=_Q9_ORACLE)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit by supplier nation and order year for
+    name-matched parts. Adaptation: the spec subtracts ps_supplycost *
+    l_quantity, but the fixture has no partsupp table — the measure here
+    is discounted revenue; the join/rollup shape (name-LIKE part filter
+    pushed into a five-table join, two-level rollup) is the point."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("rev"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(money_sum(F.col("rev"), "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay priority mix (l_shipmode absent -> delay buckets)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT ship_speed,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 'SLOW' ELSE 'FAST' END AS ship_speed
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+) t
+GROUP BY ship_speed
+"""
+
+
+@query("tpch_q12", oracle=_Q12_ORACLE)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 priority mix by shipping class. Adaptation: the spec
+    buckets by l_shipmode, which the fixture lacks; lines bucket instead
+    by shipping delay (> 60 days after order date = SLOW). The structure —
+    conditional counts of priority classes per bucket over one shipdate
+    year — is the spec's."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                "SLOW",
+            )
+            .otherwise("FAST")
+            .alias("ship_speed"),
+            high.alias("high"),
+        )
+        .groupBy("ship_speed")
+        .agg(
+            F.sum(F.when(F.col("high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue, disjunctive brand/size/quantity triplets
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {money_sum_sql(_REV_SQL, 'revenue')}
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("tpch_q19", oracle=_Q19_ORACLE)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue under a disjunction of three
+    (brand, size-range, quantity-range) triplets — the classic OR-of-ANDs
+    the optimizer must NOT turn into three scans. Adaptation: the spec's
+    p_container/l_shipmode predicates use absent columns; brand + size +
+    quantity carry the same shape. Catalyst pushes the common part-side
+    disjuncts into the broadcast join's build side."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    triplet = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(triplet).agg(money_sum(_rev(), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (late-ship adaptation)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY AND o_orderstatus = 'F'
+),
+all_lines AS (SELECT l_orderkey, l_suppkey FROM lineitem)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM all_lines l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@query("tpch_q21", oracle=_Q21_ORACLE)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting: for finalized orders,
+    count per supplier the multi-supplier orders where THEIR line was the
+    only late one (semi join for 'another supplier participated', anti
+    join for 'no other supplier was late'). Adaptation: late = shipped
+    > 90 days after order date (no commit/receipt dates in the fixture).
+    The late set is computed once and checkpointed — it feeds l1 and the
+    anti-join side l3."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .localCheckpoint()
+    )
+    l1 = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("osk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("lsk")
+    )
+    waited = (
+        l1.join(
+            other,
+            (l1.ok == other.ok) & (F.col("sk") != F.col("osk")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (l1.ok == other_late.ok) & (F.col("sk") != F.col("lsk")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(F.broadcast(s), F.col("sk") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (c_phone absent -> nationkey classes)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH wealthy AS (
+  SELECT c_custkey, c_nationkey % 5 AS cntry_class, c_acctbal
+  FROM customer
+  WHERE c_nationkey % 5 IN (0, 1, 2)
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(c_acctbal)
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+)
+SELECT cntry_class, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+FROM wealthy w
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = w.c_custkey)
+GROUP BY cntry_class
+"""
+
+
+@query("tpch_q22", oracle=_Q22_ORACLE)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity: above-average-balance customers
+    in selected country classes who have never ordered. Adaptation: the
+    spec's phone-prefix country codes use an absent column; nationkey % 5
+    stands in. The scalar average broadcasts back over the filtered
+    customers; the never-ordered test is an anti join on orders (spec
+    shape preserved: aggregate subquery + NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "cntry_class", F.col("c_nationkey") % 5
+    )
+    sel = c.filter(F.col("cntry_class").isin(0, 1, 2))
+    # decimal-exact average: a plain double AVG is partial-agg-order
+    # dependent and the threshold would drift cross-engine (canonical.py)
+    avg_bal = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        money_avg("c_acctbal", "ab")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        sel.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, sel.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntry_class")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
