@@ -77,3 +77,42 @@ def test_multimodal_binary_decoder_is_exact(spark, sf_dir):
         assert r.payload_len == len(raw)
         assert r.declared_len == rec["n_chars"]
         assert r.head_hex == raw[:8].hex()
+
+
+def test_bloom_has_no_false_negatives_and_sane_fp_rate(spark, sf_dir):
+    """The Bloom pre-filter contract: every true member reports MAYBE
+    (zero false negatives — the invariant that makes skipping the big
+    join safe), and the false-positive count stays under a loose bound
+    for 8192 bits / 4 hashes at fixture cardinality."""
+    from reconciliation_hive_data_spark.plans.sketches import sketch_bloom
+
+    rows = {r["verdict"]: r["n"] for r in sketch_bloom(spark, sf_dir).collect()}
+    assert "FALSE_NEGATIVE" not in rows  # not even representable, by design
+    n_members = rows.get("TRUE_POSITIVE", 0)
+    assert n_members > 0
+    # m/n >= 8192/1500 bits per key, k=4 -> theoretical fp ~ 2%; allow 10%
+    non_members = rows.get("FALSE_POSITIVE", 0) + rows.get("TRUE_NEGATIVE", 0)
+    if non_members:
+        assert rows.get("FALSE_POSITIVE", 0) / non_members < 0.10
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min guarantees est >= true for every key (collisions only
+    ever add), and est == true for keys whose every row is collision-free."""
+    from reconciliation_hive_data_spark.plans.sketches import sketch_cms
+
+    rows = sketch_cms(spark, sf_dir).collect()
+    assert rows
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    """64 registers -> standard error ~1.04/sqrt(64) = 13%; the raw
+    estimator (no bias correction) should still land within 35% on the
+    fixture cardinalities."""
+    from reconciliation_hive_data_spark.plans.sketches import sketch_hll
+
+    r = sketch_hll(spark, sf_dir).collect()[0]
+    assert r["m"] == 64
+    rel_err = abs(r["raw_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+    assert rel_err < 0.35
