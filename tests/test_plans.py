@@ -359,3 +359,42 @@ def test_tpch_q18_having_is_semi_join_not_distinct_join(spark, sf_dir):
 
     p = plan(tpch_q18(spark, sf_dir))
     assert "LeftSemi" in p
+
+
+def test_no_accidental_cartesian_or_bnl_anywhere(spark, sf_dir):
+    """Repo-wide plan lint: no registered query may contain a
+    CartesianProduct or BroadcastNestedLoopJoin unless whitelisted. A BNL
+    with a 1-row build side (scalar attach: a global stat, probe vector,
+    or corpus constant broadcast into a narrow map) is O(n) and safe at
+    any scale; anything else is a missing equi-key waiting to go
+    quadratic at 100 TB. New queries that trip this either get an equi
+    key or an explicit entry here with the reason."""
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    allowed = {
+        # intentional non-equi join surface (broadcast dim side, plan-tested)
+        "join_theta",
+        # 1-row broadcast scalar attaches:
+        "agg_approx",        # two 1-row aggs cross-joined (Expand avoidance)
+        "sketch_hll",        # exact-distinct count attached to the estimate
+        "tpch_q22",          # decimal-exact average balance threshold
+        "x_domain_mix",      # sorted-fold normalizer scalar
+        "x_embed_quantize",  # global [min,max] grid row
+        "x_sim_search",      # the probe vector row
+        "x_text_perplexity", # corpus token-count scalar
+        "x_text_tfidf",      # doc-count scalar for the IDF term
+    }
+    flagged = {}
+    for name, spec in sorted(registry.REGISTRY.items()):
+        if name in allowed:
+            continue
+        p = plan(spec.fn(spark, sf_dir))
+        hits = [
+            t
+            for t in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if t in p
+        ]
+        if hits:
+            flagged[name] = hits
+    assert not flagged, f"unexpected quadratic join shapes: {flagged}"
