@@ -145,10 +145,14 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): one input row → many output rows via a
     LATERAL join — the Spark 4 extension point for custom generators. This
     one emits (pos, token, len) for long tokens; semantics deliberately
-    SQL-expressible so even the UDTF path is oracle-checked."""
+    SQL-expressible so even the UDTF path is oracle-checked. Declared
+    ``useArrow=True`` so rows cross the Python boundary Arrow-batched
+    (ArrowEvalPythonUDTF) instead of pickled row-at-a-time — the same
+    vectorization rule every other Python-boundary operator follows
+    (enforced by the plan lint in tests/test_plans.py)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos int, tok string, tok_len int")
+    @udtf(returnType="pos int, tok string, tok_len int", useArrow=True)
     class LongTokens:
         def eval(self, text: str):
             for pos, tok in enumerate((text or "").split(" ")):
