@@ -74,6 +74,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "recon_api_summary": 5,       # persisted sides across the six-check fan-out
     "join_range": 5,              # stats-sized grid replaced the fixed 1-hour grid
     "x_text_repetition": 5,       # bound token column + sorted-run top count
+    "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
 }
 
 _loaded = False
