@@ -1107,3 +1107,118 @@ def x_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(decode_batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_containment — asymmetric shingle containment (quote/subset dup)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = DOCS_DUP_CTE + """
+, toks AS (
+  SELECT DISTINCT t0.doc_id,
+         t0.tok || ' ' || t1.tok || ' ' || t2.tok AS tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents_dup) t0
+  JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents_dup) t1
+    ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents_dup) t2
+    ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+),
+tokn AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+hashes AS (
+  SELECT t.doc_id, i.i,
+         substr(md5(CAST(i.i AS VARCHAR) || ':' || t.tok), 1, 8) AS h
+  FROM toks t CROSS JOIN (SELECT unnest(range(1, 9)) AS i) i
+),
+minh AS (SELECT doc_id, i, MIN(h) AS mh FROM hashes GROUP BY doc_id, i),
+sigs AS (
+  SELECT doc_id, (i - 1) // 2 AS band, string_agg(mh, '|' ORDER BY i) AS sig
+  FROM minh GROUP BY doc_id, (i - 1) // 2
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+  FROM cands c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(i.ninter AS DOUBLE) / LEAST(na.n, nb.n), 6) AS containment
+FROM inter i
+JOIN tokn na ON na.doc_id = i.doc_a
+JOIN tokn nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ninter AS DOUBLE) / LEAST(na.n, nb.n) >= 0.9
+"""
+
+
+@query("x_dedup_containment", oracle=_CONTAIN_ORACLE)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A∩B| / min(|A|,|B|) >= 0.9 over
+    3-word shingle sets. Jaccard misses subset duplication — a short doc
+    fully quoted inside a long one scores |A|/|B| (small) on Jaccard but
+    ~1.0 on containment; this is the gate that catches quote/extract
+    duplication in training corpora. Candidates come from the SAME
+    MinHash band join as x_dedup_near (one LSH index serves both
+    verifiers at scale); only the verification statistic differs. The
+    shingle table persists for its three consumers and is released after
+    the pair result materializes."""
+    d = documents_dup(spark, sf_dir)
+    toks = shingles3(d).persist()
+    base = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(1, 9)
+        ],
+        F.count("*").alias("n"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws("|", f"mh{2 * b + 1}", f"mh{2 * b + 2}").alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    sigs = base.select("doc_id", "n", F.explode(band_arr).alias("bs")).select(
+        "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "band", "sig"
+    )
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "na", "doc_b", "nb")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("ninter"))
+    )
+    cont = F.col("ninter").cast("double") / F.least("na", "nb")
+    out = inter.filter(cont >= 0.9).select(
+        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+    )
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out
