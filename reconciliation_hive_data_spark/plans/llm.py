@@ -1069,7 +1069,17 @@ def x_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x_multimodal_binary", oracle=None)
+_MULTIMODAL_BIN_ORACLE = """
+SELECT doc_id,
+       'text/plain' AS mime,
+       CAST(strlen(text) AS INT) AS payload_len,
+       CAST(n_chars AS INT) AS declared_len,
+       lower(hex(substr(text, 1, 8))) AS head_hex
+FROM documents
+"""
+
+
+@query("x_multimodal_binary", oracle=_MULTIMODAL_BIN_ORACLE)
 def x_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline: documents.text stands in as an
     opaque ``binary`` payload with typed metadata, processed by an
@@ -1077,7 +1087,10 @@ def x_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     is STUBBED with a deterministic fake — byte length + first-8-byte
     digest — because the codec libraries are not in this container; the
     Spark-side plumbing (binary schema, batch iteration, output schema) is
-    real and is what matters at scale. Rows-only by design (binary + UDF)."""
+    real and is what matters at scale. The fake is deterministic on
+    purpose, which upgrades even this UDF-plumbing query to a full
+    oracle: DuckDB recomputes byte length and head-hex from the text
+    (ASCII fixture ⇒ char offsets == byte offsets on both engines)."""
     import pandas as pd  # noqa: PLC0415 — executor-side import pattern
 
     d = load(spark, sf_dir, "documents").select(
