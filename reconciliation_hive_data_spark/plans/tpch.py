@@ -909,3 +909,286 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp fixture — completes the 22-query suite (q2/q11/q16/q20)
+# ---------------------------------------------------------------------------
+
+#: The fixture has no partsupp table; this derives one deterministically
+#: from part × supplier-count (two suppliers per part via modular hashing,
+#: cost/availqty pure integer functions of the key pair — identical on
+#: both engines at every scale factor). The supplier count enters as a
+#: 1-row scalar (the same whitelisted scalar-attach shape as the other
+#: global-stat queries).
+PARTSUPP_CTE = """
+WITH ns AS (SELECT COUNT(*) AS n_supp FROM supplier),
+partsupp AS (
+  SELECT DISTINCT p_partkey AS ps_partkey, sk AS ps_suppkey,
+         CAST(((p_partkey*31 + sk*17) % 9000 + 1000) AS DOUBLE)/100
+           AS ps_supplycost,
+         CAST((p_partkey*13 + sk*11) % 999 + 1 AS BIGINT) AS ps_availqty
+  FROM (SELECT p_partkey,
+               unnest([p_partkey % n_supp, (p_partkey*7+13) % n_supp]) AS sk
+        FROM part CROSS JOIN ns)
+)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of PARTSUPP_CTE (see its docstring)."""
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    ns = load(spark, sf_dir, "supplier").agg(F.count("*").alias("n_supp"))
+    two = (
+        p.crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.array(
+                    F.col("p_partkey") % F.col("n_supp"),
+                    (F.col("p_partkey") * 7 + 13) % F.col("n_supp"),
+                )
+            ).alias("sk"),
+        )
+        .distinct()
+    )
+    return two.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("sk").cast("bigint").alias("ps_suppkey"),
+        (
+            ((F.col("p_partkey") * 31 + F.col("sk") * 17) % 9000 + 1000).cast(
+                "double"
+            )
+            / 100
+        ).alias("ps_supplycost"),
+        ((F.col("p_partkey") * 13 + F.col("sk") * 11) % 999 + 1)
+        .cast("bigint")
+        .alias("ps_availqty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = PARTSUPP_CTE + """
+, eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+costs AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost
+  FROM partsupp JOIN eu ON ps_suppkey = eu.s_suppkey
+),
+mins AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+         FROM costs GROUP BY ps_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM part
+JOIN costs ON p_partkey = costs.ps_partkey
+JOIN mins ON mins.ps_partkey = costs.ps_partkey
+         AND costs.ps_supplycost = mins.min_cost
+JOIN eu ON eu.s_suppkey = costs.ps_suppkey
+WHERE p_size = 15 AND p_type = 'SMALL'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2", oracle=_Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier: for each size-15 SMALL part, the
+    EUROPE supplier(s) quoting the region-minimum cost. The correlated
+    MIN subquery decorrelates to a per-part minimum over region-filtered
+    partsupp joined back on (part, cost) — all dimension-sized, all
+    broadcast. Adaptation: partsupp is the derived fixture (PARTSUPP_CTE);
+    output drops the spec's absent address/comment columns."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = _partsupp(spark, sf_dir).join(
+        F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey
+    )
+    mins = costs.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        costs.join(
+            F.broadcast(mins),
+            (costs.ps_partkey == mins.ps_partkey)
+            & (costs.ps_supplycost == mins.min_cost),
+        )
+        .drop(mins.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+                "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = PARTSUPP_CTE + """
+, v AS (
+  SELECT ps_partkey,
+         CAST(SUM(CAST(ps_supplycost AS DECIMAL(18,6)) * ps_availqty)
+              AS DOUBLE) AS value
+  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+  WHERE s_nationkey % 5 = 2
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, value FROM v
+WHERE value > 0.001 * (SELECT SUM(value) FROM v)
+"""
+
+
+@query("tpch_q11", oracle=_Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock: per-part inventory value within a
+    nation class, kept where it exceeds a fraction of the class total.
+    The total is a scalar over the SAME per-part frame — computed once
+    from a checkpointed value table, then broadcast back (no second
+    partsupp pass). Inventory value is decimal-exact (2-dp cost × int
+    qty); the 0.001 threshold multiplies identical doubles on both
+    engines. Adaptation: nation class = s_nationkey % 5 (spec names one
+    nation); fraction scaled to fixture cardinality."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") % 5 == 2)
+    v = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("decimal(18,6)")
+                * F.col("ps_availqty")
+            )
+            .cast("double")
+            .alias("value")
+        )
+        .localCheckpoint()
+    )
+    total = v.agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("t"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("t").cast("double"))
+        .select("ps_partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship count
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = PARTSUPP_CTE + """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#11'
+  AND p_size IN (1, 5, 15, 25, 35, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16", oracle=_Q16_ORACLE)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship count: distinct suppliers per
+    (brand, type, size) excluding one brand, a size list, and a supplier
+    denylist (NOT IN → anti join). Adaptation: the spec's complaint-regex
+    denylist uses the absent s_comment; negative account balance stands
+    in. COUNT(DISTINCT) keys on the already-grouped columns — two-phase,
+    no Expand blowup at 6 sizes."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (excess stock suppliers)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = PARTSUPP_CTE + """
+, shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp JOIN shipped ON l_partkey = ps_partkey
+                            AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > 0.5 * qty
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+ORDER BY s_name
+"""
+
+
+@query("tpch_q20", oracle=_Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 excess-stock suppliers: NATION_3 suppliers holding more
+    than half a year's shipped quantity for some part they stock. The
+    correlated quantity subquery decorrelates to a (part, supplier)
+    aggregate of the year's lineitems joined to partsupp (inner — a pair
+    that never shipped has no year quantity to compare, per spec NULL
+    semantics); the qualifying supplier set then semi-joins the supplier
+    dim. The shipped aggregate is decimal-exact so the 0.5x threshold is
+    identical cross-engine."""
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("qty")
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -384,6 +384,12 @@ def test_no_accidental_cartesian_or_bnl_anywhere(spark, sf_dir):
         "x_sim_search",      # the probe vector row
         "x_text_perplexity", # corpus token-count scalar
         "x_text_tfidf",      # doc-count scalar for the IDF term
+        # derived-partsupp fixture (supplier-count scalar) + their own
+        # class-total / threshold scalars:
+        "tpch_q2",
+        "tpch_q11",
+        "tpch_q16",
+        "tpch_q20",
     }
     # row-at-a-time Python (BatchEvalPython) is the 10-100x-slower UDF
     # path; only the query whose purpose is to demonstrate (and cost) the
