@@ -143,9 +143,16 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = hashed.select(
         F.lag("doc_id").over(w).alias("src"), F.col("doc_id").alias("dst")
     ).filter(F.col("src").isNotNull())
-    edges = chain.unionByName(
-        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+    # checkpointed once: every CC round broadcasts the edge list, and
+    # without the checkpoint each round would re-run the md5 scan + lag
+    # window that derives it (duplicate-density-sized, cheap to hold)
+    edges = (
+        chain.unionByName(
+            chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        .localCheckpoint()
+    )
 
     # Iterate on the edge-induced subgraph only: a node with no edge is a
     # singleton and can never reach the size>=2 output, so the CC rounds
