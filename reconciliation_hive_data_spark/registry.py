@@ -75,6 +75,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "join_range": 5,              # stats-sized grid replaced the fixed 1-hour grid
     "x_text_repetition": 5,       # bound token column + sorted-run top count
     "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
+    "x_dedup_clusters": 5,        # checkpointed edge list across CC rounds
 }
 
 _loaded = False
