@@ -615,3 +615,44 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_groupingid — grouping() / grouping_id() provenance markers (round 5)
+# ---------------------------------------------------------------------------
+
+_GROUPINGID_ORACLE = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation,
+       CAST(GROUPING_ID(r_name, n_name) AS BIGINT) AS gid,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+@query("agg_groupingid", oracle=_GROUPINGID_ORACLE)
+def agg_groupingid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() over a rollup: the provenance markers that
+    distinguish a real NULL group key from a subtotal row — without them a
+    rollup over nullable keys is ambiguous, which is why every serious
+    report generator emits them. Same integer semantics on both engines
+    (bit i set = column i aggregated away)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_region"),
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_customers"),
+        )
+        .select("r_name", "n_name", "g_region", "g_nation", "gid", "n_customers")
+    )

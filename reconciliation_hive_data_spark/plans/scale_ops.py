@@ -383,3 +383,80 @@ def agg_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_zorder — Z-order (Morton) clustering key + pruning effectiveness (round 5)
+# ---------------------------------------------------------------------------
+
+_ZORDER_ORACLE = """
+WITH ranked AS (
+  SELECT event_id,
+         CAST(user_id % 256 AS BIGINT) AS ux,
+         -- explicit FLOOR: DuckDB's // on DOUBLE does not floor, and its
+         -- double->int CAST rounds where Spark's truncates
+         CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) % 256 AS ty
+  FROM events
+),
+z AS (
+  SELECT event_id, ux, ty,
+         -- fully parenthesized + summed: DuckDB's << / | precedence
+         -- differs from Spark SQL's, and the disjoint bit terms sum
+         -- identically to their OR
+         (SELECT SUM((((ux >> i.i) & 1) << (2 * i.i))
+                     + (((ty >> i.i) & 1) << ((2 * i.i) + 1)))
+          FROM (SELECT unnest(range(0, 8)) AS i) i) AS zval
+  FROM ranked
+),
+f AS (
+  SELECT *, ntile(16) OVER (ORDER BY zval, event_id) AS file_id FROM z
+)
+SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+       MIN(ux) AS min_u, MAX(ux) AS max_u,
+       MIN(ty) AS min_t, MAX(ty) AS max_t,
+       CAST((MAX(ux) - MIN(ux) + 1) * (MAX(ty) - MIN(ty) + 1) AS BIGINT)
+         AS bbox_area
+FROM f GROUP BY file_id
+"""
+
+
+@query("x_zorder", oracle=_ZORDER_ORACLE)
+def x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering: interleave the bits of two 8-bit
+    dimension keys (user bucket x hour bucket) into one sort key, split
+    the z-sorted rows into 16 'files', and report each file's per-
+    dimension min/max bounding box. This is the layout lever behind
+    OPTIMIZE ZORDER in lakehouse table formats: sorting by the interleaved
+    key keeps BOTH dimensions' footer min/max ranges tight per file, so
+    scans filtered on either dimension prune files — a single-column sort
+    gives tight boxes in one dimension and full-range boxes in the other
+    (visible here: z-ordered bbox_area sums far below a user_id-sorted
+    layout's). The interleave is pure integer bit math — identical on
+    both engines — and the ntile split carries an event_id tiebreak so
+    the file assignment is deterministic."""
+    ev = load(spark, sf_dir, "events")
+    ranked = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("bigint").alias("ux"),
+        (F.floor(F.unix_timestamp("ts") / 3600) % 256).cast("bigint").alias("ty"),
+    )
+    zbits = None
+    for i in range(8):
+        term = F.expr(
+            f"(shiftleft((ux >> {i}) & 1, {2 * i}))"
+            f" | (shiftleft((ty >> {i}) & 1, {2 * i + 1}))"
+        )
+        zbits = term if zbits is None else zbits + term
+    z = ranked.withColumn("zval", zbits.cast("bigint"))
+    w = Window.orderBy("zval", "event_id")
+    f = z.withColumn("file_id", F.ntile(16).over(w).cast("bigint"))
+    return f.groupBy("file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ux").alias("min_u"),
+        F.max("ux").alias("max_u"),
+        F.min("ty").alias("min_t"),
+        F.max("ty").alias("max_t"),
+        ((F.max("ux") - F.min("ux") + 1) * (F.max("ty") - F.min("ty") + 1))
+        .cast("bigint")
+        .alias("bbox_area"),
+    )
