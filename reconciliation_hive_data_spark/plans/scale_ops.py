@@ -433,7 +433,14 @@ def x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     (visible here: z-ordered bbox_area sums far below a user_id-sorted
     layout's). The interleave is pure integer bit math — identical on
     both engines — and the ntile split carries an event_id tiebreak so
-    the file assignment is deterministic."""
+    the file assignment is deterministic.
+
+    Scale note: the global ntile window funnels rows through one
+    partition and exists here only because the oracle needs a pinned
+    16-file assignment. The production form is
+    ``repartitionByRange(n_files, 'zval').sortWithinPartitions('zval')``
+    before the write — range boundaries from a sampled sketch, fully
+    parallel, same bounding-box property."""
     ev = load(spark, sf_dir, "events")
     ranked = ev.select(
         "event_id",
