@@ -467,3 +467,76 @@ def x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bbox_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_gapfill — hourly calendar densification + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE event_type = 'purchase'
+),
+cal AS (
+  SELECT t.ts AS bucket FROM bounds,
+         LATERAL unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t(ts)
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY date_trunc('hour', ts)
+),
+joined AS (
+  SELECT c.bucket, h.sum_value,
+         CASE WHEN h.bucket IS NULL THEN 1 ELSE 0 END AS filled
+  FROM cal c LEFT JOIN hourly h ON h.bucket = c.bucket
+)
+SELECT bucket,
+       COALESCE(sum_value,
+                LAST_VALUE(sum_value IGNORE NULLS)
+                  OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)) AS sum_value,
+       CAST(filled AS INT) AS filled
+FROM joined
+"""
+
+
+@query("x_gapfill", oracle=_GAPFILL_ORACLE)
+def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify the hourly purchase aggregate onto
+    a complete calendar (bounds → in-plan sequence explode, the
+    recon_partition_complete pattern) and fill the holes by carrying the
+    last observation forward — last_value(ignorenulls) over an ordered
+    window, the hypertable locf/gapfill composite. Each filled row is
+    flagged so downstream consumers can tell measured from imputed.
+
+    Scale: the calendar is bounds-derived (two scalars), the hourly agg
+    is two-phase decimal-exact, and in production the LOCF window
+    partitions by series key (one global series here, matching the
+    single-series oracle) so state never crosses series."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    joined = cal.join(hourly, "bucket", "left").withColumn(
+        "filled", F.when(F.col("sum_value").isNull(), 1).otherwise(0).cast("int")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.coalesce(
+            "sum_value", F.last("sum_value", ignorenulls=True).over(w)
+        ).alias("sum_value"),
+        "filled",
+    )
