@@ -436,3 +436,37 @@ def recon_api_summary(spark, sf_dir: str) -> DataFrame:
         tolerance=0.5,
     )
     return pair.summary()
+
+
+@query("recon_crossformat", oracle=_summary_oracle())
+def recon_crossformat(spark, sf_dir: str) -> DataFrame:
+    """Cross-format reconciliation: the standard faulty target is written
+    to ORC and read back before reconciling against the parquet source —
+    the realistic deployment shape (Hive-era targets rarely share the
+    source's format). The report must be IDENTICAL to recon_api_summary's
+    (same oracle): a lossless columnar round trip may not create or mask
+    a single violation. Any format-conversion drift (timestamp precision,
+    float text, NULL encoding) would surface as a changed violation
+    count and fail the hash-check."""
+    import os
+
+    from .recon import orders_target
+
+    orders = load(spark, sf_dir, "orders")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    orc_path = f"/tmp/rhds_sinks/{tag}/orders_tgt_orc"
+    orders_target(orders, faulty=True).write.mode("overwrite").orc(orc_path)
+    pair = ReconPair(
+        source=orders,
+        target=spark.read.orc(orc_path),
+        keys=["o_orderkey"],
+        compare_cols={
+            "o_custkey": "int",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderdate": "ts",
+            "o_orderpriority": "string",
+        },
+        tolerance=0.5,
+    )
+    return pair.summary()
