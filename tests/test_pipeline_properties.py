@@ -189,3 +189,37 @@ def test_indexed_near_dedup_equals_recompute(spark, sf_dir):
     }
     assert indexed == direct
     assert indexed  # the dup fixture guarantees pairs
+
+
+def test_partsupp_fixture_is_sf_portable(spark, sf_dir):
+    """The derived partsupp must hold its invariants at ANY scale factor:
+    <= 2 suppliers per part (2 modular slots, minus collisions), every
+    supplier key inside the real supplier range, costs in the documented
+    2-dp money band, availqty in [1, 999]."""
+    from pyspark.sql import functions as F
+
+    from reconciliation_hive_data_spark.catalog import load
+    from reconciliation_hive_data_spark.plans.tpch import _partsupp
+
+    ps = _partsupp(spark, sf_dir)
+    n_supp = load(spark, sf_dir, "supplier").count()
+    stats = ps.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("ps_partkey").alias("parts"),
+        F.max("ps_suppkey").alias("max_sk"),
+        F.min("ps_suppkey").alias("min_sk"),
+        F.min("ps_supplycost").alias("min_c"),
+        F.max("ps_supplycost").alias("max_c"),
+        F.min("ps_availqty").alias("min_q"),
+        F.max("ps_availqty").alias("max_q"),
+    ).first()
+    n_parts = load(spark, sf_dir, "part").count()
+    assert stats["parts"] == n_parts
+    assert n_parts <= stats["n"] <= 2 * n_parts
+    assert 0 <= stats["min_sk"] and stats["max_sk"] < n_supp
+    assert 10.0 <= stats["min_c"] and stats["max_c"] <= 99.99
+    assert 1 <= stats["min_q"] and stats["max_q"] <= 999
+    per_part_max = (
+        ps.groupBy("ps_partkey").count().agg(F.max("count")).first()[0]
+    )
+    assert per_part_max <= 2

@@ -66,3 +66,39 @@ def test_live_ordering_matches_correctness_artifacts():
             assert not seen_verified, f"never-verified {n} after a verified query"
         elif registry._MODIFIED_IN_ROUND.get(n, 0) <= rounds[n]:
             seen_verified = True
+
+
+def test_oracles_reference_only_known_tables():
+    """Static sanity over every oracle SQL string: any bare FROM/JOIN
+    table identifier must be a driver-registered view or a CTE defined in
+    the same oracle — a typo'd table name should fail here, not in the
+    driver's DuckDB run."""
+    import re
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    known = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    }
+    for name, spec in registry.REGISTRY.items():
+        if not spec.oracle:
+            continue
+        sql = spec.oracle
+        # CTE names defined in this oracle (WITH a AS ..., b AS ...)
+        ctes = set(re.findall(r"(?:WITH|,)\s*([a-zA-Z_][\w]*)\s+AS\s*\(", sql))
+        refs = set(
+            m.group(1).lower()
+            for m in re.finditer(
+                # exclude the comparison operator `IS [NOT] DISTINCT FROM x`
+                r"(?<!DISTINCT )\b(?:FROM|JOIN)\s+([a-zA-Z_][\w]*)",
+                sql,
+                flags=re.I,
+            )
+        )
+        unknown = refs - known - {c.lower() for c in ctes}
+        # subquery openers / functions caught by the regex are fine to list
+        allowed_noise = {"range", "generate_series", "unnest", "read_parquet"}
+        unknown -= allowed_noise
+        assert not unknown, f"{name}: oracle references unknown tables {unknown}"
