@@ -85,9 +85,20 @@ def test_oracles_reference_only_known_tables():
     for name, spec in registry.REGISTRY.items():
         if not spec.oracle:
             continue
-        sql = spec.oracle
-        # CTE names defined in this oracle (WITH a AS ..., b AS ...)
-        ctes = set(re.findall(r"(?:WITH|,)\s*([a-zA-Z_][\w]*)\s+AS\s*\(", sql))
+        # strip `--` line comments (prose like "differs from X") and
+        # EXTRACT(unit FROM expr) calls — both contain FROM tokens that
+        # are not table references
+        sql = re.sub(r"--[^\n]*", "", spec.oracle)
+        sql = re.sub(r"EXTRACT\s*\([^)]*\)", "", sql, flags=re.I)
+        # CTE names defined in this oracle — WITH a AS (...), b AS (...),
+        # including the column-list form `WITH a(x, y) AS (...)`
+        ctes = set(
+            re.findall(
+                r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-zA-Z_][\w]*)"
+                r"\s*(?:\([^)]*\))?\s+AS\s*\(",
+                sql,
+            )
+        )
         refs = set(
             m.group(1).lower()
             for m in re.finditer(
