@@ -10,6 +10,7 @@ imports every operator module exactly once.
 from __future__ import annotations
 
 import glob
+import hashlib
 import importlib
 import json
 import os
@@ -78,7 +79,44 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_dedup_clusters": 5,        # checkpointed edge list across CC rounds
 }
 
+#: Snapshot of each oracle's md5 as of the query's most recent external
+#: verification row (repo root, maintained by tools/update_oracle_snapshot.py
+#: at round start).  An oracle whose CURRENT text no longer matches its
+#: snapshot hash was rewritten after its last row, so the row no longer
+#: attests the oracle actually in the repo — the query re-fronts exactly
+#: like a plan rewrite.  _MODIFIED_IN_ROUND (above) tracks plan rewrites by
+#: hand; this tracks oracle rewrites mechanically, closing the hole where an
+#: oracle-semantics change on a recently-rowed query kept sorting as
+#: verified (observed: x_multimodal_binary's round-5 oracle upgrade).
+_SNAPSHOT_FILE = "ORACLE_SNAPSHOT.json"
+
 _loaded = False
+
+
+def oracle_hash(sql: str) -> str:
+    return hashlib.md5(sql.encode("utf-8")).hexdigest()
+
+
+def repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _oracle_snapshot() -> dict[str, str]:
+    try:
+        with open(os.path.join(repo_root(), _SNAPSHOT_FILE)) as fh:
+            return json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def _oracle_changed(name: str, snapshot: dict[str, str]) -> bool:
+    """True when the query's current oracle text is not the text its most
+    recent verification row attested (missing snapshot entry counts as
+    changed: fronting is the safe default for an untracked oracle)."""
+    oracle = REGISTRY[name].oracle
+    if oracle is None:
+        return False
+    return snapshot.get(name) != oracle_hash(oracle)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -110,7 +148,7 @@ def _verified_rounds() -> dict[str, int]:
     prefix: every query (including new and rewritten ones) is re-verified
     within ``ceil(len(registry) / budget)`` rounds.
     """
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = repo_root()
     rounds: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -131,18 +169,19 @@ def ordered_names() -> list[str]:
     """Registry names, least-recently-externally-verified first.
 
     Never-verified queries sort first (in registration order), then queries
-    rewritten after their last verification row, then everything else by the
-    round of its most recent row.
+    whose plan OR oracle was rewritten after their last verification row,
+    then everything else by the round of its most recent row.
     """
     load_all_modules()
     rounds = _verified_rounds()
+    snapshot = _oracle_snapshot()
     reg_index = {n: i for i, n in enumerate(REGISTRY)}
 
     def key(n: str) -> tuple[int, int, int]:
         last = rounds.get(n)
         if last is None:
             return (0, 0, reg_index[n])
-        if _MODIFIED_IN_ROUND.get(n, 0) > last:
+        if _MODIFIED_IN_ROUND.get(n, 0) > last or _oracle_changed(n, snapshot):
             # among rewritten queries, the stalest row re-verifies first
             return (1, last, reg_index[n])
         return (2, last, reg_index[n])

@@ -11,9 +11,24 @@ from reconciliation_hive_data_spark import registry
 registry.load_all_modules()
 
 
-def _order_with(monkeypatch, rounds: dict[str, int], modified: dict[str, int]):
+def _current_snapshot() -> dict[str, str]:
+    return {
+        n: registry.oracle_hash(s.oracle)
+        for n, s in registry.REGISTRY.items()
+        if s.oracle is not None
+    }
+
+
+def _order_with(
+    monkeypatch,
+    rounds: dict[str, int],
+    modified: dict[str, int],
+    snapshot: dict[str, str] | None = None,
+):
     monkeypatch.setattr(registry, "_verified_rounds", lambda: rounds)
     monkeypatch.setattr(registry, "_MODIFIED_IN_ROUND", modified)
+    snap = _current_snapshot() if snapshot is None else snapshot
+    monkeypatch.setattr(registry, "_oracle_snapshot", lambda: snap)
     return registry.ordered_names()
 
 
@@ -47,6 +62,54 @@ def test_rewrite_marker_expires_once_reverified(monkeypatch):
     assert order[-1] == a
 
 
+def test_oracle_rewrite_fronts_like_a_plan_rewrite(monkeypatch):
+    """A query whose oracle text changed after its last verification row
+    re-fronts, even with the freshest row — the hole the round-5 verdict
+    flagged (x_multimodal_binary's r5 oracle upgrade went untracked)."""
+    oracled = [n for n, s in registry.REGISTRY.items() if s.oracle is not None]
+    a = oracled[0]
+    rounds = {n: 5 for n in registry.REGISTRY}
+    snap = _current_snapshot()
+    snap[a] = "0" * 32  # a's row attested different oracle text
+    order = _order_with(monkeypatch, rounds, {}, snap)
+    assert order[0] == a
+
+
+def test_missing_snapshot_entry_fronts(monkeypatch):
+    """An oracled+verified query absent from the snapshot fronts — the safe
+    default for an untracked oracle (forgotten tool run)."""
+    oracled = [n for n, s in registry.REGISTRY.items() if s.oracle is not None]
+    a = oracled[3]
+    rounds = {n: 5 for n in registry.REGISTRY}
+    snap = _current_snapshot()
+    del snap[a]
+    order = _order_with(monkeypatch, rounds, {}, snap)
+    assert order[0] == a
+
+
+def test_oracle_marker_expires_once_snapshot_refreshed(monkeypatch):
+    """After tools/update_oracle_snapshot.py stamps the current text, the
+    query falls back into the normal staleness rotation."""
+    oracled = [n for n, s in registry.REGISTRY.items() if s.oracle is not None]
+    a = oracled[0]
+    rounds = {n: 1 for n in registry.REGISTRY}
+    rounds[a] = 5
+    order = _order_with(monkeypatch, rounds, {}, _current_snapshot())
+    assert order[-1] == a
+
+
+def test_rows_only_queries_never_front_via_snapshot(monkeypatch):
+    """oracle=None queries have nothing to hash: the snapshot mechanism must
+    not touch them (plan rewrites use _MODIFIED_IN_ROUND)."""
+    rows_only = [n for n, s in registry.REGISTRY.items() if s.oracle is None]
+    rounds = {n: 5 for n in registry.REGISTRY}
+    order = _order_with(monkeypatch, rounds, {}, {})  # empty snapshot
+    # with an EMPTY snapshot every oracled query fronts; the rows-only ones
+    # must all sort behind them
+    tail = order[-len(rows_only):]
+    assert sorted(tail) == sorted(rows_only)
+
+
 def test_ordering_is_a_permutation_of_the_registry(monkeypatch):
     names = list(registry.REGISTRY)
     order = _order_with(monkeypatch, {names[5]: 2}, {})
@@ -58,13 +121,16 @@ def test_live_ordering_matches_correctness_artifacts():
     before every query with one (modified-marker holders excepted)."""
     registry.load_all_modules()
     rounds = registry._verified_rounds()
+    snapshot = registry._oracle_snapshot()
     order = registry.ordered_names()
     seen_verified = False
     for n in order:
         has_row = n in rounds
         if not has_row:
             assert not seen_verified, f"never-verified {n} after a verified query"
-        elif registry._MODIFIED_IN_ROUND.get(n, 0) <= rounds[n]:
+        elif registry._MODIFIED_IN_ROUND.get(n, 0) <= rounds[n] and not (
+            registry._oracle_changed(n, snapshot)
+        ):
             seen_verified = True
 
 

@@ -23,6 +23,7 @@ def main() -> None:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     registry.load_all_modules()
     rounds = registry._verified_rounds()
+    snapshot = registry._oracle_snapshot()
     order = registry.ordered_names()
     n_unseen = sum(1 for n in order if n not in rounds)
     print(f"{len(order)} queries; {n_unseen} never externally verified")
@@ -33,7 +34,11 @@ def main() -> None:
         tag = (
             "NEVER"
             if last is None
-            else f"r{last}+REWRITTEN" if mod > last else f"r{last}"
+            else f"r{last}+REWRITTEN"
+            if mod > last
+            else f"r{last}+ORACLE-CHANGED"
+            if registry._oracle_changed(n, snapshot)
+            else f"r{last}"
         )
         marker = " | " if i == window else ""
         if marker:
