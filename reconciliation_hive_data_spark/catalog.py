@@ -13,6 +13,8 @@ directories alike, and all downstream operators are partition-agnostic.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -37,22 +39,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+@functools.lru_cache(maxsize=None)
 def events_ts_is_nanos(sf_dir: str) -> bool:
     """True when ``events.ts`` is TIMESTAMP(NANOS) parquet (needs the
     nanos-as-long legacy read + µs truncation), False when it is a native
     µs/ms timestamp Spark reads directly. Fixture generations have shipped
     both; probing the footer (a pyarrow metadata read, no data IO) keeps
-    every query working against either vintage."""
+    every query working against either vintage. Memoized per sf_dir: the
+    probe runs several times per query plus on the streaming path, and the
+    fixture's ts type cannot change mid-session (read-only mount)."""
+    import os
+
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, "events")
-    import os
-
     if os.path.isdir(path):  # directory-partitioned dataset: probe one file
-        inner = next(
-            f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
-        )
-        path = os.path.join(path, inner)
+        parts = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        if not parts:
+            raise FileNotFoundError(
+                f"no .parquet part files under events dataset dir {path!r}"
+            )
+        path = os.path.join(path, parts[0])
     field = pq.read_schema(path).field("ts")
     return str(field.type) == "timestamp[ns]"
 

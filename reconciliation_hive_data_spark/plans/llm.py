@@ -1166,7 +1166,7 @@ inter AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
-       ROUND(CAST(i.ninter AS DOUBLE) / LEAST(na.n, nb.n), 6) AS containment
+       CAST(i.ninter AS DOUBLE) / LEAST(na.n, nb.n) AS containment
 FROM inter i
 JOIN tokn na ON na.doc_id = i.doc_a
 JOIN tokn nb ON nb.doc_id = i.doc_b
@@ -1183,8 +1183,11 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication in training corpora. Candidates come from the SAME
     MinHash band join as x_dedup_near (one LSH index serves both
     verifiers at scale); only the verification statistic differs. The
-    shingle table persists for its three consumers and is released after
-    the pair result materializes."""
+    containment ratio is emitted RAW (int/int double division is
+    bit-identical cross-engine; engine-native ROUND on an arbitrary real
+    is the midpoint class canonical.py §2 forbids). The shingle table
+    persists for its three consumers and is released after the pair
+    result materializes."""
     d = documents_dup(spark, sf_dir)
     toks = shingles3(d).persist()
     base = toks.groupBy("doc_id").agg(
@@ -1230,7 +1233,7 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = F.col("ninter").cast("double") / F.least("na", "nb")
     out = inter.filter(cont >= 0.9).select(
-        "doc_a", "doc_b", F.round(cont, 6).alias("containment")
+        "doc_a", "doc_b", cont.alias("containment")
     )
     out = out.localCheckpoint()
     toks.unpersist()

@@ -301,7 +301,7 @@ folded AS (
 exact AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
 SELECT CAST({_HLL_M} AS BIGINT) AS m,
        n_populated,
-       ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z, 4) AS raw_estimate,
+       {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / z AS raw_estimate,
        exact_distinct
 FROM folded CROSS JOIN exact
 """
@@ -316,7 +316,11 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     two). Registers merge with MAX (the mergeable-sketch property); the
     harmonic sum folds the 64 per-register doubles in register order on
     both engines (sorted fold — the x_domain_mix normalizer pattern), so
-    the raw estimate is bit-identical cross-engine. Reported beside the
+    the raw estimate is bit-identical cross-engine — and is emitted RAW,
+    not rounded: engine-native ROUND on an arbitrary real is the one
+    midpoint-divergence class canonical.py §2 forbids (dround is
+    money-class-only), and identical inputs + identical double arithmetic
+    already make the unrounded value deterministic. Reported beside the
     exact distinct count; no small/large-range bias correction — this
     pins the sketch shape, agg_approx carries the production HLL++.
 
@@ -354,8 +358,6 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.crossJoin(F.broadcast(exact)).select(
         F.lit(_HLL_M).cast("bigint").alias("m"),
         "n_populated",
-        F.round(F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z"), 4).alias(
-            "raw_estimate"
-        ),
+        (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")).alias("raw_estimate"),
         "exact_distinct",
     )

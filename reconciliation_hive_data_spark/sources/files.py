@@ -274,8 +274,10 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SCAN_BINARY_ORACLE = """
+-- strlen = BYTE length (Spark sums bytes of file content); length() counts
+-- characters and agrees only while the fixture text is pure ASCII
 SELECT CAST(1 AS BIGINT) AS n_files,
-       CAST(SUM(length(CAST(doc_id AS VARCHAR) || '	' || text) + 1) AS BIGINT)
+       CAST(SUM(strlen(CAST(doc_id AS VARCHAR) || '	' || text) + 1) AS BIGINT)
          AS total_bytes
 FROM documents WHERE doc_id < 200
 """

@@ -156,25 +156,29 @@ def test_oracles_reference_only_known_tables():
         # are not table references
         sql = re.sub(r"--[^\n]*", "", spec.oracle)
         sql = re.sub(r"EXTRACT\s*\([^)]*\)", "", sql, flags=re.I)
+        # SQL keywords are case-insensitive, so lowercase-normalize once and
+        # match everything (CTE extraction, FROM/JOIN refs, the DISTINCT
+        # lookbehind) against the normalized text — a lowercase `with x as (`
+        # or `is not distinct from` must behave like its uppercase twin.
+        low = sql.lower()
         # CTE names defined in this oracle — WITH a AS (...), b AS (...),
         # including the column-list form `WITH a(x, y) AS (...)`
         ctes = set(
             re.findall(
-                r"(?:WITH|,)\s*(?:RECURSIVE\s+)?([a-zA-Z_][\w]*)"
-                r"\s*(?:\([^)]*\))?\s+AS\s*\(",
-                sql,
+                r"(?:with|,)\s*(?:recursive\s+)?([a-z_][\w]*)"
+                r"\s*(?:\([^)]*\))?\s+as\s*\(",
+                low,
             )
         )
         refs = set(
-            m.group(1).lower()
+            m.group(1)
             for m in re.finditer(
                 # exclude the comparison operator `IS [NOT] DISTINCT FROM x`
-                r"(?<!DISTINCT )\b(?:FROM|JOIN)\s+([a-zA-Z_][\w]*)",
-                sql,
-                flags=re.I,
+                r"(?<!distinct )\b(?:from|join)\s+([a-z_][\w]*)",
+                low,
             )
         )
-        unknown = refs - known - {c.lower() for c in ctes}
+        unknown = refs - known - ctes
         # subquery openers / functions caught by the regex are fine to list
         allowed_noise = {"range", "generate_series", "unnest", "read_parquet"}
         unknown -= allowed_noise
