@@ -447,15 +447,25 @@ def recon_crossformat(spark, sf_dir: str) -> DataFrame:
     (same oracle): a lossless columnar round trip may not create or mask
     a single violation. Any format-conversion drift (timestamp precision,
     float text, NULL encoding) would surface as a changed violation
-    count and fail the hash-check."""
-    import os
+    count and fail the hash-check.
 
+    The ORC target is an ``artifacts.ensure_artifact`` build — written
+    once per source fingerprint (join_bucketed's ingest-once pattern,
+    replacing a hand-built /tmp path), then every run re-reads it through
+    the full six-check reconciliation. The round trip stays proven: any
+    source change rebuilds the ORC, and the read-back side is exercised
+    on every run."""
+    from ..artifacts import ensure_artifact
     from .recon import orders_target
 
     orders = load(spark, sf_dir, "orders")
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    orc_path = f"/tmp/rhds_sinks/{tag}/orders_tgt_orc"
-    orders_target(orders, faulty=True).write.mode("overwrite").orc(orc_path)
+
+    def build(tmp: str) -> None:
+        orders_target(orders, faulty=True).write.mode("overwrite").orc(tmp)
+
+    orc_path, _ = ensure_artifact(
+        spark, sf_dir, "orders_tgt_orc", ["orders.parquet"], build
+    )
     pair = ReconPair(
         source=orders,
         target=spark.read.orc(orc_path),

@@ -77,6 +77,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_text_repetition": 5,       # bound token column + sorted-run top count
     "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
     "x_dedup_clusters": 5,        # checkpointed edge list across CC rounds
+    "recon_crossformat": 6,       # ORC target became a fingerprinted artifact
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
