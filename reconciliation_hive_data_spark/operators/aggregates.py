@@ -656,3 +656,78 @@ def agg_groupingid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("r_name", "n_name", "g_region", "g_nation", "gid", "n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap — exact distinct counts as an ALGEBRAIC bitmap aggregate
+# ---------------------------------------------------------------------------
+
+# 63-bit chunks on purpose: DuckDB range-checks (1::BIGINT << 63) where
+# Spark wraps; shifts <= 62 stay positive and behave identically on both
+# (the sketch_bloom word-width lesson, one bit wider).
+_BITMAP_W = 63
+
+_BITMAP_ORACLE = f"""
+WITH cells AS (
+  SELECT o_orderstatus,
+         o_custkey // {_BITMAP_W} AS chunk,
+         CAST(1 AS BIGINT) << CAST(o_custkey % {_BITMAP_W} AS INTEGER) AS mask
+  FROM orders
+),
+words AS (
+  SELECT o_orderstatus, chunk, bit_or(mask) AS w
+  FROM cells GROUP BY o_orderstatus, chunk
+),
+bm AS (
+  SELECT o_orderstatus, CAST(SUM(bit_count(w)) AS BIGINT) AS bitmap_distinct
+  FROM words GROUP BY o_orderstatus
+),
+ex AS (
+  SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT bm.o_orderstatus, bm.bitmap_distinct, ex.exact_distinct,
+       CASE WHEN bm.bitmap_distinct = ex.exact_distinct
+            THEN 'MATCH' ELSE 'DIFF' END AS verdict
+FROM bm JOIN ex ON bm.o_orderstatus = ex.o_orderstatus
+"""
+
+
+@query("agg_bitmap", oracle=_BITMAP_ORACLE)
+def agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting as an algebraic aggregate: key-space chunks
+    of 63 keys → one int64 word per (group, chunk) built with bit_or →
+    popcount-sum per group — the roaring-bitmap pattern behind
+    bitmap-index distinct counts. COUNT(DISTINCT) plans an expand +
+    re-shuffle on (group, key); the bitmap is a plain two-level
+    HashAggregate whose partials merge with bit_or — map-side combining,
+    shard/day-mergeable (union = OR), and it composes with reaggregation
+    the way agg_reaggregate's decimal partials do. The exact
+    COUNT(DISTINCT) rides along and the verdict column pins equality.
+
+    At 100 TB: word count is keyspace/63 per group regardless of row
+    count — dense ints (custkeys) fit; sparse/string keys would first
+    densify through a dictionary join (or fall back to agg_approx)."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.select(
+        "o_orderstatus",
+        F.expr(f"o_custkey DIV {_BITMAP_W}").alias("chunk"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % {_BITMAP_W} AS INT))"
+        ).alias("mask"),
+    )
+    words = cells.groupBy("o_orderstatus", "chunk").agg(F.bit_or("mask").alias("w"))
+    bm = words.groupBy("o_orderstatus").agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("bitmap_distinct")
+    )
+    ex = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return bm.join(ex, "o_orderstatus").select(
+        "o_orderstatus",
+        "bitmap_distinct",
+        "exact_distinct",
+        F.when(F.col("bitmap_distinct") == F.col("exact_distinct"), "MATCH")
+        .otherwise("DIFF")
+        .alias("verdict"),
+    )

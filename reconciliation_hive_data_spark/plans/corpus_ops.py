@@ -1,6 +1,7 @@
-"""Corpus-preparation operators, round 2: the two remaining transforms a
-pretraining data pipeline runs between "cleaned corpus" and "training
-shards".
+"""Corpus-preparation operators (rounds 2 and 6): transforms a pretraining
+data pipeline runs between "cleaned corpus" and "training shards", plus the
+round-6 corpus-analysis trio (``x_knn_graph``, ``x_token_pmi``,
+``x_doc_outliers``) — see each docstring for the scale shape.
 
 - ``x_chunk_docs`` — overlapping token-window chunking (window 64, stride
   48): the context-window prep step that turns documents into model-sized
@@ -25,11 +26,12 @@ shards".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import query
+from .llm import dot, duck_dot
 
 # ---------------------------------------------------------------------------
 # x_chunk_docs — overlapping token-window chunking
@@ -219,4 +221,229 @@ def x_embed_quantize_perdim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("codes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_knn_graph — k-nearest-neighbor graph within label blocks (round 6)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt({duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS src_id, a.label, b.vec_id AS nbr_id,
+         {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_sim
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT src_id, label, nbr_id, cos_sim, rn FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY src_id
+                                    ORDER BY cos_sim DESC, nbr_id)
+                 AS BIGINT) AS rn
+  FROM pairs
+) WHERE rn <= {_KNN_K}
+"""
+
+
+@query("x_knn_graph", oracle=_KNN_ORACLE)
+def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=3) over the embedding corpus: every
+    vector's top-3 cosine neighbors within its label block — the structure
+    SemDeDup-style semantic dedup and graph-based corpus clustering start
+    from (x_sim_search answers one probe; this materializes the whole
+    graph). Rank is deterministic via the (cos DESC, nbr_id) tie-break;
+    the cosine is emitted raw (bit-identical fold, see dot()).
+
+    At 100 TB: label is the blocking key bounding the quadratic term —
+    production swaps it for an IVF/LSH bucket (x_sim_ivf's signature) with
+    identical plan shape: norms precomputed once, equi-join on the block,
+    per-src top-k via one window over block-local pairs. The k-sized
+    output is corpus×k rows — linear in the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    n = e.withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+    a = n.select(
+        F.col("vec_id").alias("src_id"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("src_id") != F.col("nbr_id"))
+    ).select(
+        "src_id",
+        "label",
+        "nbr_id",
+        (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _KNN_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_token_pmi — adjacent-bigram collocation lift (round 6)
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIR = 10
+_PMI_TOP = 20
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents
+),
+uni AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+bg AS (
+  SELECT a.term AS tok_a, b.term AS tok_b
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+btot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS bt FROM bg),
+pc AS (
+  SELECT tok_a, tok_b, COUNT(*) AS pair_n FROM bg
+  GROUP BY tok_a, tok_b HAVING COUNT(*) >= {_PMI_MIN_PAIR}
+),
+scored AS (
+  SELECT pc.tok_a, pc.tok_b, pc.pair_n,
+         (CAST(pc.pair_n AS DOUBLE) / btot.bt)
+         / ((CAST(ua.cnt AS DOUBLE) / tot.t) * (CAST(ub.cnt AS DOUBLE) / tot.t))
+           AS lift
+  FROM pc
+  JOIN uni ua ON ua.term = pc.tok_a
+  JOIN uni ub ON ub.term = pc.tok_b
+  CROSS JOIN tot CROSS JOIN btot
+)
+SELECT tok_a, tok_b, pair_n, lift
+FROM scored ORDER BY lift DESC, tok_a, tok_b LIMIT {_PMI_TOP}
+"""
+
+
+@query("x_token_pmi", oracle=_PMI_ORACLE)
+def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent word bigrams by pointwise lift
+    P(a,b) / (P(a)·P(b)) with support >= 10 — the association statistic
+    under phrase detection and tokenizer-merge candidates (unigram surface
+    is x_text_tokens/x_text_tfidf; this is the pairwise upgrade). The lift
+    is a ratio of exact integer counts, so it is emitted RAW — ratios of
+    small ints CAN land exactly on decimal midpoints, the class
+    engine-native ROUND diverges on (canonical.py §2); unrounded, both
+    engines evaluate the identical double expression bit-for-bit.
+
+    At 100 TB: bigrams come from one lead() window per document partition;
+    unigram and total counts are algebraic aggregates; the support
+    threshold prunes the pair table BEFORE the two unigram joins (the
+    small side broadcasts); top-20 is a TakeOrdered, not a global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term")
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = toks.agg(F.count("*").cast("double").alias("t"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("tok_b", F.lead("term").over(wdoc))
+        .filter(F.col("tok_b").isNotNull())
+        .select(F.col("term").alias("tok_a"), "tok_b")
+    )
+    btot = bg.agg(F.count("*").cast("double").alias("bt"))
+    pc = (
+        bg.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= _PMI_MIN_PAIR)
+    )
+    ua = uni.select(F.col("term").alias("tok_a"), F.col("cnt").alias("cnt_a"))
+    ub = uni.select(F.col("term").alias("tok_b"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        pc.join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "pair_n",
+            (
+                (F.col("pair_n").cast("double") / F.col("bt"))
+                / (
+                    (F.col("cnt_a").cast("double") / F.col("t"))
+                    * (F.col("cnt_b").cast("double") / F.col("t"))
+                )
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("tok_a"), F.col("tok_b")
+    ).limit(_PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# x_doc_outliers — per-language length outliers via exact moments (round 6)
+# ---------------------------------------------------------------------------
+
+_OUTLIER_Z = 1.5
+_OUTLIER_MIN_GROUP = 5
+
+_OUTLIER_ORACLE = f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS DOUBLE) AS sx,
+         CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx
+  FROM documents GROUP BY lang HAVING COUNT(*) >= {_OUTLIER_MIN_GROUP}
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       (d.n_chars - s.sx / s.n) / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))
+         AS z
+FROM documents d JOIN s ON s.lang = d.lang
+WHERE ABS((d.n_chars - s.sx / s.n)
+          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) >= {_OUTLIER_Z}
+"""
+
+
+@query("x_doc_outliers", oracle=_OUTLIER_ORACLE)
+def x_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional outlier report: documents whose length sits >= 1.5
+    sample standard deviations from their language's mean — the anomaly
+    screen a corpus-health pipeline runs after x_corpus_stats says WHAT the
+    distributions are. Moments come from EXACT integer sums (Σx, Σx² over
+    int64 n_chars), so mean/σ/z are single double expressions over
+    bit-identical inputs — deterministic cross-engine with no decimal
+    routing, and the sample-σ closed form is the same partial-aggregatable
+    shape agg_corr pinned (native stddev is merge-order-dependent).
+
+    At 100 TB: one algebraic groupBy per language (the stats table is
+    languages-count-sized — always broadcastable), then a narrow map
+    over the corpus. Fixture int64 sums stay well inside 2^53-exact double
+    range; petabyte corpora would widen the partials to DECIMAL(38,0) and
+    keep the identical plan."""
+    d = load(spark, sf_dir, "documents")
+    s = (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("double").alias("sx"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n") >= _OUTLIER_MIN_GROUP)
+    )
+    z = (F.col("n_chars") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        d.join(F.broadcast(s), "lang")
+        .filter(F.abs(z) >= _OUTLIER_Z)
+        .select("doc_id", "lang", "n_chars", z.alias("z"))
     )

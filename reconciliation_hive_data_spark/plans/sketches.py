@@ -361,3 +361,134 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")).alias("raw_estimate"),
         "exact_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv — k-minimum-values (theta-family) distinct + intersection
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+# 2^48 — the md5-derived hash domain (12 hex chars), as an exact double
+_KMV_DOMAIN = "281474976710656.0"
+
+
+def _kmv_hash_sql(key: str) -> str:
+    return f"('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 12))::BIGINT"
+
+
+def _kmv_est_sql(cnt: str, tau: str) -> str:
+    """KMV estimator (k-1)/U_(k) with U = h/2^48, written so both engines
+    evaluate the identical double expression."""
+    return f"(CAST({cnt} AS DOUBLE) - 1.0) * {_KMV_DOMAIN} / CAST({tau} AS DOUBLE)"
+
+
+_KMV_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT {_kmv_hash_sql('o_custkey')} AS h
+  FROM orders WHERE o_orderstatus = 'O'
+),
+b AS (
+  SELECT DISTINCT {_kmv_hash_sql('o_custkey')} AS h
+  FROM orders WHERE o_orderstatus = 'F'
+),
+u AS (SELECT h FROM a UNION SELECT h FROM b),
+ka AS (SELECT MAX(h) AS tau, COUNT(*) AS c
+       FROM (SELECT h FROM a ORDER BY h LIMIT {_KMV_K})),
+kb AS (SELECT MAX(h) AS tau, COUNT(*) AS c
+       FROM (SELECT h FROM b ORDER BY h LIMIT {_KMV_K})),
+ku AS (SELECT MAX(h) AS tau, COUNT(*) AS c
+       FROM (SELECT h FROM u ORDER BY h LIMIT {_KMV_K})),
+ex AS (
+  SELECT COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END)
+           AS exact_a,
+         COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END)
+           AS exact_b
+  FROM orders
+),
+exi AS (
+  SELECT COUNT(*) AS exact_inter FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  )
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       {_kmv_est_sql('ka.c', 'ka.tau')} AS est_a,
+       {_kmv_est_sql('kb.c', 'kb.tau')} AS est_b,
+       {_kmv_est_sql('ku.c', 'ku.tau')} AS est_union,
+       {_kmv_est_sql('ka.c', 'ka.tau')} + {_kmv_est_sql('kb.c', 'kb.tau')}
+         - {_kmv_est_sql('ku.c', 'ku.tau')} AS est_inter,
+       ex.exact_a, ex.exact_b, exi.exact_inter
+FROM ka CROSS JOIN kb CROSS JOIN ku CROSS JOIN ex CROSS JOIN exi
+"""
+
+
+@query("sketch_kmv", oracle=_KMV_ORACLE)
+def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch (theta-sketch family, k=64): distinct
+    estimates for two customer key sets (open vs fulfilled orders), their
+    union via the merged sketch, and the intersection by
+    inclusion-exclusion — the set-operation capability HLL lacks (you
+    cannot intersect HLLs; you CAN intersect KMVs, which is why theta
+    sketches exist). Hashes are md5-derived 48-bit ints (sketch_hll's
+    recipe) so the whole artifact is hash-verified; the estimator
+    (k-1)/U_(k) is one double expression over identical ints. Exact
+    distincts + exact intersection ride along for calibration.
+
+    At 100 TB: each side's sketch is a streamable top-k of a narrow hash
+    projection (TakeOrdered — per-partition k-smallest then a k-sized
+    merge, no global sort); sketches merge by unioning value lists and
+    re-truncating to k, so per-shard/per-day sketches compose without
+    touching raw keys again."""
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10)
+    sides = {
+        s: o.filter(F.col("o_orderstatus") == s)
+        .select(h.cast("bigint").alias("h"))
+        .distinct()
+        for s in ("O", "F")
+    }
+    union = sides["O"].union(sides["F"]).distinct()
+
+    def kmv(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.max("h").alias(f"tau_{tag}"), F.count("*").alias(f"c_{tag}"))
+        )
+
+    def est(tag: str):
+        return (
+            (F.col(f"c_{tag}").cast("double") - 1.0)
+            * float(_KMV_DOMAIN)
+            / F.col(f"tau_{tag}").cast("double")
+        )
+
+    exact = o.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("exact_b"),
+    )
+    exact_inter = (
+        sides["O"].intersect(sides["F"]).agg(F.count("*").alias("exact_inter"))
+    )
+    out = (
+        kmv(sides["O"], "a")
+        .crossJoin(F.broadcast(kmv(sides["F"], "b")))
+        .crossJoin(F.broadcast(kmv(union, "u")))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_inter))
+    )
+    return out.select(
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        est("a").alias("est_a"),
+        est("b").alias("est_b"),
+        est("u").alias("est_union"),
+        (est("a") + est("b") - est("u")).alias("est_inter"),
+        "exact_a",
+        "exact_b",
+        "exact_inter",
+    )

@@ -384,6 +384,8 @@ def test_no_accidental_cartesian_or_bnl_anywhere(spark, sf_dir):
         "x_sim_search",      # the probe vector row
         "x_text_perplexity", # corpus token-count scalar
         "x_text_tfidf",      # doc-count scalar for the IDF term
+        "sketch_kmv",        # 1-row sketch/exact scalars cross-attached
+        "x_token_pmi",       # token-total + bigram-total scalars
         # derived-partsupp fixture (supplier-count scalar) + their own
         # class-total / threshold scalars:
         "tpch_q2",
