@@ -89,6 +89,11 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
 #: hand; this tracks oracle rewrites mechanically, closing the hole where an
 #: oracle-semantics change on a recently-rowed query kept sorting as
 #: verified (observed: x_multimodal_binary's round-5 oracle upgrade).
+#: Entries are ``{"hash": md5, "round": N}`` — the round makes the refresh
+#: idempotent: a query already stamped for its latest row's round is never
+#: re-stamped, so running the tool AFTER editing an oracle mid-round cannot
+#: accidentally bless the edit.  (Bare-string entries from the v1 format
+#: are still read.)
 _SNAPSHOT_FILE = "ORACLE_SNAPSHOT.json"
 
 _loaded = False
@@ -102,7 +107,7 @@ def repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _oracle_snapshot() -> dict[str, str]:
+def _oracle_snapshot() -> dict[str, str | dict]:
     try:
         with open(os.path.join(repo_root(), _SNAPSHOT_FILE)) as fh:
             return json.load(fh)
@@ -110,14 +115,21 @@ def _oracle_snapshot() -> dict[str, str]:
         return {}
 
 
-def _oracle_changed(name: str, snapshot: dict[str, str]) -> bool:
+def snapshot_hash(entry: str | dict | None) -> str | None:
+    """Hash held by a snapshot entry (v2 dict or v1 bare string)."""
+    if isinstance(entry, dict):
+        return entry.get("hash")
+    return entry
+
+
+def _oracle_changed(name: str, snapshot: dict[str, str | dict]) -> bool:
     """True when the query's current oracle text is not the text its most
     recent verification row attested (missing snapshot entry counts as
     changed: fronting is the safe default for an untracked oracle)."""
     oracle = REGISTRY[name].oracle
     if oracle is None:
         return False
-    return snapshot.get(name) != oracle_hash(oracle)
+    return snapshot_hash(snapshot.get(name)) != oracle_hash(oracle)
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:

@@ -110,6 +110,37 @@ def test_rows_only_queries_never_front_via_snapshot(monkeypatch):
     assert sorted(tail) == sorted(rows_only)
 
 
+def test_v2_snapshot_entries_are_read(monkeypatch):
+    """ORACLE_SNAPSHOT entries are {"hash":…, "round":…} dicts (v1 bare
+    strings still parse); _oracle_changed must read both."""
+    oracled = [n for n, s in registry.REGISTRY.items() if s.oracle is not None]
+    a, b = oracled[0], oracled[1]
+    rounds = {n: 5 for n in registry.REGISTRY}
+    snap: dict = {
+        n: {"hash": registry.oracle_hash(s.oracle), "round": 5}
+        for n, s in registry.REGISTRY.items()
+        if s.oracle is not None
+    }
+    snap[a] = {"hash": "0" * 32, "round": 5}  # v2 entry, stale hash
+    snap[b] = "0" * 32  # v1 entry, stale hash
+    order = _order_with(monkeypatch, rounds, {}, snap)
+    assert set(order[:2]) == {a, b}
+
+
+def test_snapshot_file_on_disk_is_wellformed():
+    """The committed ORACLE_SNAPSHOT.json names a subset of the registry's
+    oracled queries and every entry carries a 32-hex hash."""
+    import re
+
+    snap = registry._oracle_snapshot()
+    assert snap, "snapshot must exist and be non-empty"
+    oracled = {n for n, s in registry.REGISTRY.items() if s.oracle is not None}
+    assert set(snap) <= oracled, set(snap) - oracled
+    for name, entry in snap.items():
+        h = registry.snapshot_hash(entry)
+        assert h and re.fullmatch(r"[0-9a-f]{32}", h), (name, entry)
+
+
 def test_ordering_is_a_permutation_of_the_registry(monkeypatch):
     names = list(registry.REGISTRY)
     order = _order_with(monkeypatch, {names[5]: 2}, {})

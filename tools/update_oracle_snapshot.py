@@ -2,15 +2,18 @@
 of its most recent external verification row (registry.py reads it to front
 queries whose oracle was rewritten after their last row).
 
-Run at ROUND START, before editing any oracle: queries rowed in the latest
-CORRECTNESS_r{N}.json were verified against the oracle text currently in the
-repo, so their snapshot entries refresh to the current hash. Entries for
-queries not in the latest round keep their recorded hash (their rows attest
-the OLD text; editing the oracle then re-fronts them automatically).
+Entries are ``{"hash": md5, "round": N}``; a query is (re-)stamped ONLY when
+its latest CORRECTNESS row is from a round NEWER than the entry's recorded
+round. That makes the refresh idempotent within a round: after the
+round-start run stamps the latest round, editing an oracle and re-running
+the tool cannot bless the edit — the query keeps fronting until the NEXT
+round's row attests the new text. (Residual rule: run the tool before
+editing oracles in the same session where a new CORRECTNESS round just
+landed; entries missing entirely are stamped from current text.)
 
 Usage::
 
-    python tools/update_oracle_snapshot.py           # refresh latest-round rows
+    python tools/update_oracle_snapshot.py           # idempotent refresh
     python tools/update_oracle_snapshot.py --seed-all  # one-time bootstrap
 """
 
@@ -37,11 +40,25 @@ def main() -> None:
     for name, spec in registry.REGISTRY.items():
         if spec.oracle is None:
             continue
-        if seed_all or rounds.get(name) == latest:
+        entry = snapshot.get(name)
+        last_row = rounds.get(name, 0)
+        if isinstance(entry, str):
+            # migrate a v1 bare-hash entry in place, PRESERVING its hash
+            # (it attests the text of the query's last row, not current
+            # text) and attributing it to that row's round
+            entry = {"hash": entry, "round": last_row}
+            snapshot[name] = entry
+        stamped_round = entry.get("round", 0) if isinstance(entry, dict) else 0
+        due = (
+            seed_all
+            or entry is None  # untracked oracle: stamp current text
+            or (last_row == latest and last_row > stamped_round)
+        )
+        if due:
             h = registry.oracle_hash(spec.oracle)
-            if snapshot.get(name) != h:
+            if registry.snapshot_hash(entry) != h:
                 refreshed.append(name)
-            snapshot[name] = h
+            snapshot[name] = {"hash": h, "round": max(last_row, stamped_round)}
     for name in sorted(snapshot):
         spec = registry.REGISTRY.get(name)
         if spec is None or spec.oracle is None:
