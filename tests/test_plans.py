@@ -411,3 +411,56 @@ def test_no_accidental_cartesian_or_bnl_anywhere(spark, sf_dir):
         if hits:
             flagged[name] = hits
     assert not flagged, f"unexpected plan shapes: {flagged}"
+
+
+def test_bitmap_distinct_is_two_phase_bit_or(spark, sf_dir):
+    """agg_bitmap's whole point is algebraic distinct counting: the word
+    build must be a partial+final HashAggregate pair (map-side bit_or
+    combine), never an Expand/distinct rewrite."""
+    from reconciliation_hive_data_spark.operators.aggregates import agg_bitmap
+
+    p = plan(agg_bitmap(spark, sf_dir))
+    assert p.count("HashAggregate") >= 2
+    assert "bit_or" in p
+
+
+def test_kmv_topk_is_takeordered_not_global_sort(spark, sf_dir):
+    """sketch_kmv's k-smallest per side must plan as TakeOrderedAndProject
+    (per-partition top-k + k-sized merge); a global Sort before the limit
+    would shuffle the whole hash column at scale."""
+    from reconciliation_hive_data_spark.plans.sketches import sketch_kmv
+
+    p = plan(sketch_kmv(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_knn_graph_pair_join_is_equi_on_label(spark, sf_dir):
+    """x_knn_graph's pair join must key on the label block — a
+    BroadcastNestedLoopJoin means the blocking key got lost and the graph
+    build went all-pairs quadratic."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_knn_graph
+
+    p = plan(x_knn_graph(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pmi_unigram_joins_broadcast(spark, sf_dir):
+    """x_token_pmi joins the (pruned) pair table to the two unigram count
+    sides: both must broadcast — the pair table never re-shuffles for a
+    vocabulary-sized right-hand side."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_token_pmi
+
+    p = plan(x_token_pmi(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p  # top-20 is a TakeOrdered
+
+
+def test_doc_outliers_stats_broadcast_back(spark, sf_dir):
+    """x_doc_outliers: the per-language moment table is languages-sized
+    and must broadcast; the corpus side stays un-shuffled (one narrow map
+    after the broadcast join)."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_doc_outliers
+
+    p = plan(x_doc_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
