@@ -90,3 +90,45 @@ def test_adversarial_values(spark):
 )
 def test_random_money_class(spark, xs):
     spark_vs_duck(spark, xs)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000_000),
+            st.integers(min_value=1, max_value=10_000_000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_int_ratio_division_is_bit_identical(spark, pairs):
+    """Raw double division of int64 pairs must agree bit-for-bit between
+    engines — the foundation of the round-6 rule that ratio outputs
+    (containment, PMI lift, KMV estimates, HLL raw_estimate) are emitted
+    UNROUNDED: IEEE division is exactly rounded, so identical inputs give
+    identical bits; engine-native ROUND would diverge exactly where such
+    ratios land on decimal midpoints (e.g. 9/16 at 4dp)."""
+    pdf = pd.DataFrame(
+        {"k": range(len(pairs)),
+         "a": [a for a, _ in pairs],
+         "b": [b for _, b in pairs]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    mine = {
+        r.k: r.q.hex()
+        for r in sdf.select(
+            "k", (F.col("a").cast("double") / F.col("b").cast("double")).alias("q")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    theirs = {
+        k: q.hex()
+        for k, q in con.execute(
+            "SELECT k, CAST(a AS DOUBLE) / CAST(b AS DOUBLE) FROM t"
+        ).fetchall()
+    }
+    con.close()
+    assert mine == theirs
