@@ -109,8 +109,15 @@ def main() -> None:
         "failed": sorted(failed),
         "samples": {k: [round(v, 3) for v in vs] for k, vs in samples.items()},
     }
-    # Filtered dev runs must not clobber the driver's full artifact.
-    full_name = "BENCH_PARTIAL.json" if only_env else "BENCH_FULL.json"
+    # Filtered dev runs must not clobber the driver's full artifact — and
+    # neither may a full run at a non-default scale factor (an sf0.001
+    # smoke probe once silently overwrote the committed sf0.1 record).
+    if only_env:
+        full_name = "BENCH_PARTIAL.json"
+    elif sf != 0.1:
+        full_name = f"BENCH_FULL_sf{sf}.json"
+    else:
+        full_name = "BENCH_FULL.json"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name)
     with open(full_path, "w") as fh:
         json.dump(full, fh, separators=(",", ":"))
