@@ -13,7 +13,13 @@ carries:
   not an mtime ``>=``: a source restored from archive with an *older*
   mtime still invalidates, because any difference mismatches. On a real
   cluster object store the same role is played by snapshot/commit ids of a
-  transactional table format.
+  transactional table format. The fingerprint also folds in the *transform
+  version* — the source text of the ``build`` callable plus any ``code=``
+  dependencies the caller names — so editing the build logic (or a helper
+  it delegates to, e.g. a fault-injection function) rebuilds the artifact
+  even though the input data is unchanged. Without this, runs would
+  silently reconcile fresh sources against an artifact built by stale
+  code.
 - **Write atomicity / races** — builders write into a temp dir and publish
   with a single ``os.rename``; an exclusive ``flock`` serializes
   concurrent builders (parallel pytest workers, overlapping sessions) on
@@ -26,6 +32,7 @@ from __future__ import annotations
 
 import fcntl
 import hashlib
+import inspect
 import json
 import os
 import shutil
@@ -53,6 +60,17 @@ def source_fingerprint(paths: Iterable[str]) -> str:
     return hashlib.md5(json.dumps(stats, sort_keys=True).encode()).hexdigest()
 
 
+def _code_token(obj: Callable | str) -> str:
+    """Version token for a transform dependency: its source text when
+    retrievable, else a stable name (builtins, C extensions, REPL)."""
+    if isinstance(obj, str):
+        return obj
+    try:
+        return inspect.getsource(obj)
+    except (OSError, TypeError):
+        return getattr(obj, "__qualname__", repr(obj))
+
+
 def warehouse_root(spark: SparkSession) -> str:
     return spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
@@ -72,18 +90,26 @@ def ensure_artifact(
     kind: str,
     sources: Iterable[str],
     build: Callable[[str], None],
+    code: Iterable[Callable | str] = (),
 ) -> tuple[str, bool]:
     """Return ``(location, rebuilt)`` for artifact ``kind`` of ``sf_dir``.
 
     ``sources`` are paths under ``sf_dir`` the artifact derives from;
     ``build(tmp_dir)`` must materialize the artifact into ``tmp_dir``.
-    The build runs only when the recorded source fingerprint differs, and
-    publication is rename-atomic under an exclusive flock.
+    The build runs only when the recorded fingerprint differs — the
+    fingerprint covers both the source data (stat-based) and the transform
+    version (``build``'s own source text plus every ``code`` dependency:
+    helper callables the build delegates to, or literal version strings).
+    Publication is rename-atomic under an exclusive flock.
     """
     loc = artifact_location(spark, sf_dir, kind)
-    fp = source_fingerprint(
+    src_fp = source_fingerprint(
         os.path.join(sf_dir, s) if not os.path.isabs(s) else s for s in sources
     )
+    tokens = [_code_token(build)] + [_code_token(c) for c in code]
+    fp = hashlib.md5(
+        json.dumps([src_fp, tokens], sort_keys=True).encode()
+    ).hexdigest()
     meta = loc + ".meta.json"
     os.makedirs(os.path.dirname(loc), exist_ok=True)
     with open(loc + ".lock", "w") as lk:

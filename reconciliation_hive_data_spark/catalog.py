@@ -39,18 +39,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-@functools.lru_cache(maxsize=None)
 def events_ts_is_nanos(sf_dir: str) -> bool:
     """True when ``events.ts`` is TIMESTAMP(NANOS) parquet (needs the
     nanos-as-long legacy read + µs truncation), False when it is a native
     µs/ms timestamp Spark reads directly. Fixture generations have shipped
     both; probing the footer (a pyarrow metadata read, no data IO) keeps
-    every query working against either vintage. Memoized per sf_dir: the
-    probe runs several times per query plus on the streaming path, and the
-    fixture's ts type cannot change mid-session (read-only mount)."""
+    every query working against either vintage. Memoized on the probed
+    file's identity AND stat (size, mtime_ns) — not on sf_dir alone — so
+    a fixture directory regenerated in place with a different ts vintage
+    (e.g. a test writing both variants to one tmp dir) re-probes instead
+    of returning the stale answer; the steady-state cost is one os.stat
+    per call, the footer read still runs once per file version."""
     import os
-
-    import pyarrow.parquet as pq
 
     path = table_path(sf_dir, "events")
     if os.path.isdir(path):  # directory-partitioned dataset: probe one file
@@ -60,6 +60,14 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
                 f"no .parquet part files under events dataset dir {path!r}"
             )
         path = os.path.join(path, parts[0])
+    st = os.stat(path)
+    return _ts_is_nanos_probe(path, st.st_size, st.st_mtime_ns)
+
+
+@functools.lru_cache(maxsize=None)
+def _ts_is_nanos_probe(path: str, size: int, mtime_ns: int) -> bool:
+    import pyarrow.parquet as pq
+
     field = pq.read_schema(path).field("ts")
     return str(field.type) == "timestamp[ns]"
 

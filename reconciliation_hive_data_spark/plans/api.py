@@ -450,11 +450,13 @@ def recon_crossformat(spark, sf_dir: str) -> DataFrame:
     count and fail the hash-check.
 
     The ORC target is an ``artifacts.ensure_artifact`` build — written
-    once per source fingerprint (join_bucketed's ingest-once pattern,
-    replacing a hand-built /tmp path), then every run re-reads it through
-    the full six-check reconciliation. The round trip stays proven: any
-    source change rebuilds the ORC, and the read-back side is exercised
-    on every run."""
+    once per fingerprint (join_bucketed's ingest-once pattern, replacing
+    a hand-built /tmp path), then every run re-reads it through the full
+    six-check reconciliation. The round trip stays proven: any source
+    change rebuilds the ORC, and — via ``code=[orders_target]`` — so does
+    any edit to the fault-injection transform itself, so the cached
+    target can never be a stale-code build. The read-back side is
+    exercised on every run."""
     from ..artifacts import ensure_artifact
     from .recon import orders_target
 
@@ -464,7 +466,8 @@ def recon_crossformat(spark, sf_dir: str) -> DataFrame:
         orders_target(orders, faulty=True).write.mode("overwrite").orc(tmp)
 
     orc_path, _ = ensure_artifact(
-        spark, sf_dir, "orders_tgt_orc", ["orders.parquet"], build
+        spark, sf_dir, "orders_tgt_orc", ["orders.parquet"], build,
+        code=[orders_target],
     )
     pair = ReconPair(
         source=orders,

@@ -110,6 +110,46 @@ def test_failed_build_leaves_no_published_artifact(env):
     assert rebuilt and len(calls) == 1
 
 
+def test_build_source_text_change_invalidates(env):
+    # two closures with IDENTICAL source (same factory) must not rebuild;
+    # a build whose source text differs must — stale transform code is a
+    # staleness condition exactly like stale source data
+    spark, src = env
+    calls: list[str] = []
+
+    def build_b(tmp: str) -> None:
+        calls.append(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "data"), "w") as fh:
+            fh.write("variant-b")
+
+    artifacts.ensure_artifact(spark, src, "t", ["events.parquet"], _build_counter(calls))
+    _, same = artifacts.ensure_artifact(
+        spark, src, "t", ["events.parquet"], _build_counter(calls)
+    )
+    _, changed = artifacts.ensure_artifact(spark, src, "t", ["events.parquet"], build_b)
+    assert (same, changed) == (False, True)
+    assert len(calls) == 2
+
+
+def test_code_dependency_invalidates(env):
+    # the code= hook: a helper the build delegates to (here modeled by a
+    # version string, as a bumped-kind-name stand-in) is part of the
+    # fingerprint, so editing it rebuilds even though build + data match
+    spark, src = env
+    calls: list[str] = []
+    b = _build_counter(calls)
+    artifacts.ensure_artifact(spark, src, "t", ["events.parquet"], b, code=["v1"])
+    _, same = artifacts.ensure_artifact(
+        spark, src, "t", ["events.parquet"], b, code=["v1"]
+    )
+    _, bumped = artifacts.ensure_artifact(
+        spark, src, "t", ["events.parquet"], b, code=["v2"]
+    )
+    assert (same, bumped) == (False, True)
+    assert len(calls) == 2
+
+
 def test_fingerprint_covers_directory_sources(tmp_path):
     d = tmp_path / "ds"
     d.mkdir()

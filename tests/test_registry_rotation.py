@@ -141,6 +141,37 @@ def test_snapshot_file_on_disk_is_wellformed():
         assert h and re.fullmatch(r"[0-9a-f]{32}", h), (name, entry)
 
 
+def test_snapshot_tool_never_stamps_away_an_older_missing_entry():
+    """tools/update_oracle_snapshot.py's missing-entry branch: a query
+    whose latest row is OLDER than the latest round must stay absent from
+    the snapshot (it fronts until re-verified — the safe default
+    test_missing_snapshot_entry_fronts pins). Stamping it from current
+    text would cancel that forced re-verification in one tool run."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "update_oracle_snapshot",
+        os.path.join(registry.repo_root(), "tools", "update_oracle_snapshot.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # untracked + never rowed, or rowed in the latest round: stamp
+    assert mod.stamp_due(None, last_row=0, latest=6, seed_all=False)
+    assert mod.stamp_due(None, last_row=6, latest=6, seed_all=False)
+    # untracked with only an OLDER row: keep fronting
+    assert not mod.stamp_due(None, last_row=3, latest=6, seed_all=False)
+    # tracked entries: restamp only when a NEWER latest-round row attests
+    assert mod.stamp_due({"hash": "x", "round": 3}, 6, 6, seed_all=False)
+    assert not mod.stamp_due({"hash": "x", "round": 6}, 6, 6, seed_all=False)
+    assert not mod.stamp_due({"hash": "x", "round": 3}, 4, 6, seed_all=False)
+    # v1 bare-string entries behave like round-0 dicts
+    assert mod.stamp_due("x", 6, 6, seed_all=False)
+    # --seed-all overrides everything (bootstrap path)
+    assert mod.stamp_due(None, 3, 6, seed_all=True)
+
+
 def test_ordering_is_a_permutation_of_the_registry(monkeypatch):
     names = list(registry.REGISTRY)
     order = _order_with(monkeypatch, {names[5]: 2}, {})

@@ -81,20 +81,30 @@ def test_pmi_output_is_thresholded_and_ranked(spark, sf_dir):
 
 def test_doc_outliers_match_numpy_recompute(spark, sf_dir):
     """Independent recompute of the flagged set with numpy (different
-    summation order, different codebase) — set equality, not just parity."""
+    summation order, different codebase) — set equality, not just parity.
+    Docs whose |z| lands inside a symmetric ±eps band around the threshold
+    are excluded from the comparison on BOTH sides: there the two
+    codebases' floating-point rounding can legitimately disagree about
+    >= _OUTLIER_Z, and a one-sided widening would only ever enlarge the
+    expected set, failing spuriously when Spark's bit-exact z falls just
+    under the cut."""
     from reconciliation_hive_data_spark.catalog import load
 
     docs = (
         load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars").toPandas()
     )
-    expected = set()
+    eps = 1e-9
+    expected, borderline = set(), set()
     for lang, g in docs.groupby("lang"):
         if len(g) < _OUTLIER_MIN_GROUP:
             continue
         x = g["n_chars"].to_numpy(dtype=np.float64)
         mu = x.mean()
         sigma = x.std(ddof=1)
-        z = (x - mu) / sigma
-        expected |= set(g["doc_id"].to_numpy()[np.abs(z) >= _OUTLIER_Z - 1e-12])
+        z = np.abs((x - mu) / sigma)
+        ids = g["doc_id"].to_numpy()
+        near = np.abs(z - _OUTLIER_Z) < eps
+        borderline |= set(ids[near])
+        expected |= set(ids[(z >= _OUTLIER_Z) & ~near])
     got = {r.doc_id for r in x_doc_outliers(spark, sf_dir).collect()}
-    assert got == expected
+    assert got - borderline == expected

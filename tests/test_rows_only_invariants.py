@@ -60,6 +60,20 @@ def test_fn_hash_spark_crc_sha_match_python(spark, sf_dir):
         assert r.sha256 == hashlib.sha256(raw).hexdigest()
 
 
+def test_rows_only_driver_counts_pinned(spark):
+    """The two rows-only-by-design queries are externally gated on row
+    count ALONE, and only every ~4 rounds of the rotation. Pin their
+    sf0.01 counts (the driver's correctness scale) here so a silent
+    row-count drift is caught by every pytest run in between: both counts
+    have been byte-identical in every driver row since round 2 (720 for
+    s_watermark's windowed sessions, 2000 = |part| for fn_hash_spark)."""
+    from reconciliation_hive_data_spark.streaming.stream_ops import s_watermark
+
+    sf001 = "/root/testdata/sf0.01"
+    assert fn_hash_spark(spark, sf001).count() == 2000
+    assert s_watermark(spark, sf001).count() == 720
+
+
 def test_multimodal_binary_decoder_is_exact(spark, sf_dir):
     """The stub decoder's outputs are fully determined by the source bytes:
     payload_len == byte length, head_hex == first-8-byte hex, declared_len

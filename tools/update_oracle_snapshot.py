@@ -9,7 +9,16 @@ round-start run stamps the latest round, editing an oracle and re-running
 the tool cannot bless the edit — the query keeps fronting until the NEXT
 round's row attests the new text. (Residual rule: run the tool before
 editing oracles in the same session where a new CORRECTNESS round just
-landed; entries missing entirely are stamped from current text.)
+landed.)
+
+Entries missing entirely are stamped from current text ONLY when nothing
+is being attested away: the query has no verification row at all, or its
+latest row is from the latest round (so current text is what that row just
+verified). A missing entry for a query whose rows are all OLDER stays
+absent — it is fronting precisely because its oracle text was never
+attested, and stamping it from current text would cancel the
+re-verification the missing entry forces
+(tests/test_registry_rotation.py::test_missing_snapshot_entry_fronts).
 
 Usage::
 
@@ -26,6 +35,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from reconciliation_hive_data_spark import registry  # noqa: E402
+
+
+def stamp_due(
+    entry: dict | str | None, last_row: int, latest: int, seed_all: bool
+) -> bool:
+    """Should this query's snapshot entry be (re-)stamped from CURRENT
+    oracle text? Only when that text carries an attestation: the latest
+    round's row just verified it, or no row exists to contradict it."""
+    if seed_all:
+        return True
+    if entry is None:
+        return last_row == 0 or last_row == latest
+    stamped_round = entry.get("round", 0) if isinstance(entry, dict) else 0
+    return last_row == latest and last_row > stamped_round
 
 
 def main() -> None:
@@ -49,12 +72,7 @@ def main() -> None:
             entry = {"hash": entry, "round": last_row}
             snapshot[name] = entry
         stamped_round = entry.get("round", 0) if isinstance(entry, dict) else 0
-        due = (
-            seed_all
-            or entry is None  # untracked oracle: stamp current text
-            or (last_row == latest and last_row > stamped_round)
-        )
-        if due:
+        if stamp_due(entry, last_row, latest, seed_all):
             h = registry.oracle_hash(spec.oracle)
             if registry.snapshot_hash(entry) != h:
                 refreshed.append(name)
