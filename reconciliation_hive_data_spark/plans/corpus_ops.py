@@ -40,7 +40,11 @@ from .llm import dot, duck_dot
 _WINDOW = 64
 _STRIDE = 48
 
-_CHUNK_ORACLE = f"""
+#: shared CTE chain producing the chunk table (doc_id, toks, n, chunk_idx,
+#: c_start) — consumed by x_chunk_docs' final projection here and re-packed
+#: into training sequences by x_chunk_pack below. Concatenation reproduces
+#: the pre-split _CHUNK_ORACLE byte-for-byte (oracle-snapshot stability).
+_CHUNK_CTES = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS n
@@ -57,7 +61,9 @@ e AS (
          generate_subscripts(starts, 1) - 1 AS chunk_idx,
          unnest(starts) AS c_start
   FROM s
-)
+)"""
+
+_CHUNK_ORACLE = _CHUNK_CTES + f"""
 SELECT doc_id,
        CAST(chunk_idx AS INT) AS chunk_idx,
        CAST(c_start AS INT) AS chunk_start,
@@ -446,4 +452,91 @@ def x_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(s), "lang")
         .filter(F.abs(z) >= _OUTLIER_Z)
         .select("doc_id", "lang", "n_chars", z.alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_chunk_pack — chunk → pack composite (round 7)
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 256  # token budget per packed training sequence (chunks are <=64)
+
+_CHUNK_PACK_ORACLE = _CHUNK_CTES + f"""
+, chunks AS (
+  SELECT doc_id,
+         CAST(chunk_idx AS INT) AS chunk_idx,
+         CAST(LEAST({_WINDOW}, n - c_start) AS INT) AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 16
+           AS shard_id
+  FROM e
+),
+c AS (
+  SELECT shard_id, doc_id, chunk_idx, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard_id
+                             ORDER BY doc_id, chunk_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM chunks
+)
+SELECT shard_id,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_CAP}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM c GROUP BY shard_id, seq_id
+"""
+
+
+@query("x_chunk_pack", oracle=_CHUNK_PACK_ORACLE)
+def x_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → pack composite: the two corpus-prep stages a training-data
+    pipeline actually runs back to back — overlapping 64-token chunking
+    (x_chunk_docs' exact rule) followed by cumulative-sum packing of the
+    chunks into ≤256-token training sequences (x_pack_sequences' exact
+    rule, applied to chunks instead of whole documents). Verifies the
+    COMPOSITION end to end: chunk boundaries, the md5-mod-16 shard
+    assignment, and the running-total bin edges all have to agree with the
+    oracle's independent recompute for the hash to pass. (As with all
+    cumsum binning, the bin edge is where the running total BEFORE a chunk
+    crosses the cap, so a sequence's token sum may overshoot 256 by up to
+    one chunk's 63 tokens — the deterministic streaming-packing tradeoff,
+    asserted in tests/test_round7_properties.py.)
+
+    Plan shape: the chunk stage is entirely narrow (posexplode of
+    array-side start offsets — zero shuffles, x_chunk_docs' plan), so the
+    composite costs exactly ONE exchange: the window over (shard_id),
+    ordered by (doc_id, chunk_idx), then a same-key groupBy that reuses
+    the window's partitioning. At 100 TB the shard modulus grows with the
+    corpus exactly as x_pack_sequences documents — parallelism is the
+    shard count, never the language/sequence count, and no row ever
+    crosses shards twice."""
+    chunks = (
+        x_chunk_docs(spark, sf_dir)
+        .select("doc_id", "chunk_idx", "n_tokens")
+        .withColumn(
+            "shard_id",
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int")
+            % 16,
+        )
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = chunks.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")) / F.lit(float(_PACK_CAP))
+            ).cast("bigint"),
+        )
+        .groupBy("shard_id", "seq_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        )
     )

@@ -154,7 +154,12 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_dedup_near — MinHash + LSH banding (md5-derived, cross-engine exact)
 # ---------------------------------------------------------------------------
 
-_NEAR_ORACLE = DOCS_DUP_CTE + """
+#: shared CTE chain: 3-shingles → 8 md5 min-hashes → band signatures →
+#: candidate pairs → shingle counts + exact intersections. Consumed by
+#: x_dedup_near's thresholded final select and x_minhash_jaccard_est's
+#: calibration select; concatenation reproduces the pre-split _NEAR_ORACLE
+#: byte-for-byte (oracle-snapshot stability).
+_NEAR_CTES = DOCS_DUP_CTE + """
 , raw AS (
   SELECT doc_id,
          unnest(string_split(text, ' ')) AS tok,
@@ -189,7 +194,9 @@ inter AS (
   JOIN toks ta ON ta.doc_id = c.doc_a
   JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+_NEAR_ORACLE = _NEAR_CTES + """
 SELECT i.doc_a, i.doc_b,
        ROUND(CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter), 6) AS jaccard
 FROM inter i
@@ -1234,6 +1241,135 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = F.col("ninter").cast("double") / F.least("na", "nb")
     out = inter.filter(cont >= 0.9).select(
         "doc_a", "doc_b", cont.alias("containment")
+    )
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# x_minhash_jaccard_est — signature-estimated vs exact Jaccard (round 7)
+# ---------------------------------------------------------------------------
+
+_JACC_EST_ORACLE = _NEAR_CTES + """
+, matches AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_match
+  FROM cands c
+  JOIN minh a ON a.doc_id = c.doc_a
+  JOIN minh b ON b.doc_id = c.doc_b AND b.i = a.i AND b.mh = a.mh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT m.doc_a, m.doc_b,
+       CAST(m.n_match AS INT) AS n_match,
+       m.n_match / 8.0 AS est_jaccard,
+       CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter) AS jaccard,
+       ABS(m.n_match / 8.0
+           - CAST(i.ninter AS DOUBLE) / (na.n + nb.n - i.ninter)) AS abs_err
+FROM matches m
+JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+JOIN tokn na ON na.doc_id = m.doc_a
+JOIN tokn nb ON nb.doc_id = m.doc_b
+"""
+
+
+@query("x_minhash_jaccard_est", oracle=_JACC_EST_ORACLE)
+def x_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration: for every LSH candidate pair, the
+    signature-estimated Jaccard (matching min-hash components / 8 — the
+    unbiased MinHash estimator) side by side with the EXACT shingle-set
+    Jaccard, plus the absolute estimation error. This is the measurement
+    that justifies trusting x_dedup_near's banding at scale: it
+    quantifies, per pair, how far the 8-permutation signature strays from
+    truth (the md5-derived twin of what x_dedup_minhash_mllib can only
+    rows-only-check, since MLlib's hash family is implementation-defined).
+
+    Determinism: est = k/8 is a dyadic rational (exact in binary floating
+    point — no decimal-midpoint hazard, per the canonical.py rule that
+    small-integer ratios are emitted RAW, never rounded); the exact
+    Jaccard and the error are single IEEE divisions/subtractions over
+    bit-identical integers on both engines.
+
+    Plan shape = x_dedup_near's (same shingle table persisted across the
+    signature aggregate and both intersection sides, same band-key
+    candidate join bounding the quadratic term), plus one extra
+    broadcast-sized join attaching the 8 signature columns to each
+    candidate pair. At 100 TB the calibration runs on a SAMPLE of
+    candidate pairs (a deterministic mod filter on (doc_a, doc_b) slots in
+    before the verify joins with the identical plan); the fixture corpus
+    is small enough to calibrate every pair, which is also what the oracle
+    must reproduce."""
+    d = documents_dup(spark, sf_dir)
+    toks = shingles3(d).persist()
+    base = toks.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("tok"))), 1, 8)
+            ).alias(f"mh{i}")
+            for i in range(1, 9)
+        ],
+        F.count("*").alias("n"),
+    )
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws("|", f"mh{2 * b + 1}", f"mh{2 * b + 2}").alias("sig"),
+            )
+            for b in range(4)
+        ]
+    )
+    sigs = base.select("doc_id", "n", F.explode(band_arr).alias("bs")).select(
+        "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "band", "sig"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "band", "sig"
+    )
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "na", "doc_b", "nb")
+        .distinct()
+    )
+    # attach both signatures (doc-count-sized table, 8 short strings/row)
+    ma = base.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(1, 9)],
+    )
+    mb = base.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(1, 9)],
+    )
+    n_match = None
+    for i in range(1, 9):
+        eq = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_match = eq if n_match is None else n_match + eq
+    est = (
+        cands.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select("doc_a", "doc_b", "na", "nb", n_match.alias("n_match"))
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        est.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb", "n_match")
+        .agg(F.count("*").alias("ninter"))
+    )
+    exact = F.col("ninter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("ninter")
+    )
+    est_j = F.col("n_match") / F.lit(8.0)
+    out = inter.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_match").cast("int").alias("n_match"),
+        est_j.alias("est_jaccard"),
+        exact.alias("jaccard"),
+        F.abs(est_j - exact).alias("abs_err"),
     )
     out = out.localCheckpoint()
     toks.unpersist()

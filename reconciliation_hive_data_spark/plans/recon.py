@@ -619,3 +619,171 @@ def recon_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("TYPE_DIFF")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_null_profile — per-column null / NaN / blank drift (round 7)
+# ---------------------------------------------------------------------------
+
+#: (column, class) pairs profiled — blank applies to strings, NaN to doubles
+_NULLPROF_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "string"),
+)
+
+_NULLPROF_TGT_SQL = """
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 THEN 'NaN'::DOUBLE
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate,
+         CASE WHEN o_orderkey % 89 = 0 THEN ''
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+"""
+
+
+def _nullprof_side_sql(table_expr: str) -> str:
+    rows = []
+    for c, klass in _NULLPROF_COLS:
+        blank = (
+            f"CAST(SUM(CASE WHEN {c} = '' THEN 1 ELSE 0 END) AS BIGINT)"
+            if klass == "string"
+            else "CAST(0 AS BIGINT)"
+        )
+        nan = (
+            f"CAST(SUM(CASE WHEN isnan({c}) THEN 1 ELSE 0 END) AS BIGINT)"
+            if klass == "double"
+            else "CAST(0 AS BIGINT)"
+        )
+        rows.append(
+            f"  SELECT '{c}' AS col_name,\n"
+            f"         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_null,\n"
+            f"         {blank} AS n_blank,\n"
+            f"         {nan} AS n_nan\n"
+            f"  FROM {table_expr}"
+        )
+    return "\n  UNION ALL\n".join(rows)
+
+
+_NULLPROF_ORACLE = f"""
+WITH tgt AS ({_NULLPROF_TGT_SQL}),
+src_p AS (
+{_nullprof_side_sql('orders')}
+),
+tgt_p AS (
+{_nullprof_side_sql('tgt')}
+)
+SELECT s.col_name,
+       s.n_null AS src_null, t.n_null AS tgt_null,
+       s.n_blank AS src_blank, t.n_blank AS tgt_blank,
+       s.n_nan AS src_nan, t.n_nan AS tgt_nan,
+       CASE WHEN s.n_null = t.n_null AND s.n_blank = t.n_blank
+                 AND s.n_nan = t.n_nan
+            THEN 'MATCH' ELSE 'DRIFT' END AS status
+FROM src_p s JOIN tgt_p t ON t.col_name = s.col_name
+"""
+
+
+@query("recon_null_profile", oracle=_NULLPROF_ORACLE)
+def recon_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-profile reconciliation: NULL, empty-string, and NaN
+    counts for every column on both sides, diffed column by column — the
+    data-quality drift check that catches an ETL load silently turning
+    values into missingness (a COALESCE dropped, a failed cast defaulting,
+    a CSV hop reading '' where NULL was written) even when row counts and
+    key sets still reconcile. Extends recon_schema one level deeper: that
+    check diffs the column INVENTORY, this one diffs each column's
+    missingness fingerprint.
+
+    Target = orders with three deterministic degradations (keyed on
+    o_orderkey modulus, like FIXTURES.md §B.2): % 97 → o_orderstatus
+    NULLed, % 89 → o_orderpriority blanked, % 101 → o_totalprice → NaN.
+    The three missingness classes are counted separately because they are
+    NOT interchangeable: NULL survives casts, '' survives CSV round trips,
+    NaN poisons sums — and a profile that lumps them hides exactly the
+    drift class this check exists to name.
+
+    Scale shape: ONE full-scan aggregate per side computing all 3×|cols|
+    counters as algebraic conditional sums (map-side combining, no
+    shuffle of data rows — the exchange carries a single partial-agg row
+    per task), then a columns-count-sized unpivot and join. Cost is one
+    pass over each table regardless of column count; output is
+    metadata-sized, like recon_schema."""
+    orders = load(spark, sf_dir, "orders")
+    tgt = (
+        orders.withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit(float("nan")))
+            .otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 89 == 0, F.lit(""))
+            .otherwise(F.col("o_orderpriority")),
+        )
+    )
+
+    def profile(df: DataFrame) -> DataFrame:
+        aggs, fields = [], []
+        for c, klass in _NULLPROF_COLS:
+            col = F.col(c)
+            aggs.append(
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"null_{c}")
+            )
+            aggs.append(
+                (
+                    F.sum(F.when(col == "", 1).otherwise(0)).cast("bigint")
+                    if klass == "string"
+                    else F.lit(0).cast("bigint")
+                ).alias(f"blank_{c}")
+            )
+            aggs.append(
+                (
+                    F.sum(F.when(F.isnan(col), 1).otherwise(0)).cast("bigint")
+                    if klass == "double"
+                    else F.lit(0).cast("bigint")
+                ).alias(f"nan_{c}")
+            )
+            fields.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"null_{c}").alias("n_null"),
+                    F.col(f"blank_{c}").alias("n_blank"),
+                    F.col(f"nan_{c}").alias("n_nan"),
+                )
+            )
+        return df.agg(*aggs).select(F.inline(F.array(*fields)))
+
+    s = profile(orders).alias("s")
+    t = profile(tgt).alias("t")
+    return s.join(t, F.col("s.col_name") == F.col("t.col_name")).select(
+        F.col("s.col_name").alias("col_name"),
+        F.col("s.n_null").alias("src_null"),
+        F.col("t.n_null").alias("tgt_null"),
+        F.col("s.n_blank").alias("src_blank"),
+        F.col("t.n_blank").alias("tgt_blank"),
+        F.col("s.n_nan").alias("src_nan"),
+        F.col("t.n_nan").alias("tgt_nan"),
+        F.when(
+            (F.col("s.n_null") == F.col("t.n_null"))
+            & (F.col("s.n_blank") == F.col("t.n_blank"))
+            & (F.col("s.n_nan") == F.col("t.n_nan")),
+            "MATCH",
+        )
+        .otherwise("DRIFT")
+        .alias("status"),
+    )

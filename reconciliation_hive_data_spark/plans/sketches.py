@@ -492,3 +492,96 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_b",
         "exact_inter",
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloomprune — Bloom-prefiltered semi-join (round 7)
+# ---------------------------------------------------------------------------
+
+_BLOOMPRUNE_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_bloomprune", oracle=_BLOOMPRUNE_ORACLE)
+def join_bloomprune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: the sketch_bloom filter promoted from a
+    demonstration to a JOIN OPERATOR. The urgent-order customer key set is
+    folded into the 8192-bit / 4-hash md5 Bloom filter (256 bit_or words);
+    every customer probes the broadcast word table first, and only
+    maybe-members reach the exact semi-join that removes the false
+    positives. The oracle is the PLAIN semi-join — the Bloom stage is a
+    physical optimization that must not move a single row, and the
+    hash-check proves it doesn't (no-false-negatives is load-bearing, not
+    just asserted).
+
+    Why this matters at 100 TB: a semi-join against a key set too big to
+    broadcast otherwise shuffles the ENTIRE probe side. The ~1 KB filter
+    always broadcasts; definite non-members (the overwhelming majority in
+    selective semi-joins) die in the scan stage without ever entering the
+    exchange, so the shuffle carries true members + the ~2 % false-positive
+    leakage instead of everything — the same plan Spark's runtime row-group
+    bloom pushdown builds, here explicit and engine-checkable. On the
+    fixture the key set is also broadcastable, so the final join is a
+    broadcast left-semi; at scale it becomes a shuffle join over the
+    pruned survivors with the identical shape."""
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()  # consumed twice: filter build + exact join
+    )
+    bits = None
+    for i in range(_BLOOM_HASHES):
+        part = urgent.select(_bloom_pos_spark(F.col("o_custkey"), i).alias("pos"))
+        bits = part if bits is None else bits.unionAll(part)
+    bloom = (
+        bits.withColumn("word", (F.col("pos") / 32).cast("bigint"))
+        .withColumn("bit", (F.col("pos") % 32).cast("int"))
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("w"))
+        # pin the (<=256-row) word table: each of the 4 probe joins
+        # broadcasts it, and without the checkpoint every broadcast
+        # re-runs the build aggregate over the key set (4x the build cost
+        # for identical bits — the x_dedup_near persisted-input pattern)
+        .localCheckpoint()
+    )
+    probes = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        *[
+            _bloom_pos_spark(F.col("c_custkey"), i).alias(f"p{i}")
+            for i in range(_BLOOM_HASHES)
+        ],
+    )
+    maybe = F.lit(True)
+    for i in range(_BLOOM_HASHES):
+        b = bloom.select(F.col("word").alias(f"word{i}"), F.col("w").alias(f"w{i}"))
+        probes = probes.join(
+            F.broadcast(b),
+            (F.col(f"p{i}") / 32).cast("bigint") == F.col(f"word{i}"),
+            "left",
+        )
+        bit_set = F.expr(f"(shiftright(w{i}, CAST(p{i} % 32 AS INT)) & 1) = 1")
+        maybe = maybe & F.coalesce(bit_set, F.lit(False))
+    survivors = probes.filter(maybe).select("c_custkey", "c_mktsegment", "c_acctbal")
+    exact = survivors.join(
+        F.broadcast(urgent),
+        survivors.c_custkey == urgent.o_custkey,
+        "left_semi",
+    )
+    return exact.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )

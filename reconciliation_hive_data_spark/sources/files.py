@@ -350,3 +350,94 @@ def scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .select("n_nationkey", "n_name", "n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_compact — small-file compaction planner over sink output (round 7)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_ROWS = 800  # rows per compacted file at fixture scale
+
+
+_SINK_COMPACT_ORACLE = f"""
+WITH inv AS (
+  SELECT l_returnflag, l_orderkey % 16 AS shard_id, COUNT(*) AS n_rows
+  FROM lineitem GROUP BY l_returnflag, l_orderkey % 16
+),
+plan AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         CAST(CEIL(CAST(SUM(n_rows) AS DOUBLE) / {_COMPACT_TARGET_ROWS})
+              AS BIGINT) AS target_files
+  FROM inv GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_files, n_rows, target_files,
+       CASE WHEN n_files > target_files THEN 'COMPACT' ELSE 'OK' END AS verdict
+FROM plan
+"""
+
+
+@query("sink_compact", oracle=_SINK_COMPACT_ORACLE)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: write a deliberately over-sharded
+    partitioned sink (partitionBy(l_returnflag, shard) after a same-key
+    repartition — exactly one parquet file per (flag, shard) directory, 48
+    directories for ~60 k rows: the classic small-files pathology every
+    streaming/partitioned ingest produces), then read the PHYSICAL file
+    inventory back via input_file_name() and emit the compaction plan
+    per partition: file count, row count, the target file count at
+    _COMPACT_TARGET_ROWS rows/file, and a COMPACT/OK verdict.
+
+    The oracle recomputes the same plan from pure key arithmetic — it can
+    because the write is deterministic (one file per modulus shard), so a
+    hash-pass proves the physical layout on disk is exactly the one the
+    write contract promises: file counts came from real directory
+    listings, not from the same arithmetic.
+
+    This is the planning half of OPTIMIZE/rewrite_data_files (Delta,
+    Iceberg): the plan is partition-count-sized metadata, computed with
+    one distributed file-listing scan (input_file_name is evaluated in
+    the scan stage — no driver-side listFiles loop), and each COMPACT
+    verdict maps to one independent rewrite job. At 100 TB the same query
+    runs over the table's file manifest; rows-per-file generalizes to
+    bytes-per-file with target 128 MB–1 GB, and the verdict threshold
+    gains a min-file-count guard so near-target partitions aren't
+    rewritten for a 2-file win."""
+    out = _sink_dir(sf_dir, "lineitem_smallfiles")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        (F.col("l_orderkey") % 16).cast("bigint").alias("shard_id"),
+    )
+    (
+        li.repartition("l_returnflag", "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag", "shard_id")
+        .parquet(out)
+    )
+    inv = (
+        spark.read.parquet(out)
+        .select("l_returnflag", F.input_file_name().alias("fname"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("fname").alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return inv.select(
+        "l_returnflag",
+        "n_files",
+        "n_rows",
+        F.ceil(F.col("n_rows") / F.lit(float(_COMPACT_TARGET_ROWS)))
+        .cast("bigint")
+        .alias("target_files"),
+        F.when(
+            F.col("n_files")
+            > F.ceil(F.col("n_rows") / F.lit(float(_COMPACT_TARGET_ROWS))),
+            "COMPACT",
+        )
+        .otherwise("OK")
+        .alias("verdict"),
+    )

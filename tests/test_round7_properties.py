@@ -1,0 +1,140 @@
+"""Property tests for the round-7 operators, beyond oracle parity: each
+query's load-bearing invariant is re-derived from an INDEPENDENT
+implementation (pyarrow/numpy/python) or from a differently-shaped Spark
+plan, so a bug that slipped past the (same-shaped) oracle still fails here.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from reconciliation_hive_data_spark.plans.corpus_ops import (
+    _PACK_CAP,
+    _WINDOW,
+    x_chunk_docs,
+    x_chunk_pack,
+)
+from reconciliation_hive_data_spark.plans.llm import x_dedup_near, x_minhash_jaccard_est
+from reconciliation_hive_data_spark.plans.recon import recon_null_profile
+from reconciliation_hive_data_spark.plans.sketches import join_bloomprune
+from reconciliation_hive_data_spark.sources.files import sink_compact
+
+
+def test_sink_compact_counts_real_files(spark, sf_dir):
+    """File counts must come from the physical directory listing and equal
+    the write contract's promise: one file per (l_returnflag, shard)
+    combo present in the data — recomputed here from the pyarrow-read
+    source, not from the sink."""
+    rows = {r.l_returnflag: r for r in sink_compact(spark, sf_dir).collect()}
+    src = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    ).to_pylist()
+    combos: dict[str, set[int]] = {}
+    totals: dict[str, int] = {}
+    for rec in src:
+        combos.setdefault(rec["l_returnflag"], set()).add(rec["l_orderkey"] % 16)
+        totals[rec["l_returnflag"]] = totals.get(rec["l_returnflag"], 0) + 1
+    assert set(rows) == set(combos)
+    for flag, r in rows.items():
+        assert r.n_files == len(combos[flag])
+        assert r.n_rows == totals[flag]
+        assert r.verdict == ("COMPACT" if r.n_files > r.target_files else "OK")
+        # ceil semantics: target_files is the least count covering n_rows
+        assert (r.target_files - 1) * 800 < r.n_rows <= r.target_files * 800
+
+
+def test_bloomprune_equals_plain_semijoin(spark, sf_dir):
+    """The Bloom stage is physical-only: the result must equal a direct
+    (bloom-free, differently-planned) semi-join aggregate."""
+    from reconciliation_hive_data_spark.catalog import load
+
+    got = {r.c_mktsegment: r for r in join_bloomprune(spark, sf_dir).collect()}
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    plain = (
+        load(spark, sf_dir, "customer")
+        .join(urgent, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .collect()
+    )
+    assert len(plain) == len(got)
+    for r in plain:
+        g = got[r.c_mktsegment]
+        assert g.n_customers == r.n_customers
+        assert g.sum_acctbal == r.sum_acctbal
+
+
+def test_jaccard_est_bounds_and_neardup_consistency(spark, sf_dir):
+    """Estimator invariants: every candidate pair shares >= 1 full band
+    (n_match >= 2), both jaccards live in [0, 1], est is k/8 exactly, and
+    filtering the calibration at >= 0.5 reproduces x_dedup_near's pair set
+    (same pipeline, independently re-run)."""
+    rows = x_minhash_jaccard_est(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 2 <= r.n_match <= 8
+        assert r.est_jaccard == r.n_match / 8.0
+        assert 0.0 < r.jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est_jaccard - r.jaccard)) == 0.0
+    est_pairs = {(r.doc_a, r.doc_b) for r in rows if r.jaccard >= 0.5}
+    near_pairs = {(r.doc_a, r.doc_b) for r in x_dedup_near(spark, sf_dir).collect()}
+    assert est_pairs == near_pairs
+
+
+def test_chunk_pack_conserves_tokens_and_respects_cap(spark, sf_dir):
+    """Packing must conserve chunks and tokens exactly (nothing dropped,
+    nothing double-packed) and no sequence may overshoot the cap by a full
+    chunk (cumsum binning: overshoot < _WINDOW)."""
+    chunks = x_chunk_docs(spark, sf_dir).agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
+    ).first()
+    packed = x_chunk_pack(spark, sf_dir).collect()
+    assert sum(r.n_chunks for r in packed) == chunks.n
+    assert sum(r.seq_tokens for r in packed) == chunks.tok
+    for r in packed:
+        assert r.seq_tokens < _PACK_CAP + _WINDOW
+        assert 1 <= r.n_docs <= r.n_chunks
+
+
+def test_null_profile_drift_matches_key_arithmetic(spark, sf_dir):
+    """The injected drift is an exact function of key arithmetic — recompute
+    every target-side count from the pyarrow-read source (independent of
+    both Spark and DuckDB) and require equality, not just DRIFT flags."""
+    import math
+
+    got = {r.col_name: r for r in recon_null_profile(spark, sf_dir).collect()}
+    src = pq.read_table(os.path.join(sf_dir, "orders.parquet")).to_pylist()
+    n_status = sum(
+        1 for r in src if r["o_orderkey"] % 97 == 0 or r["o_orderstatus"] is None
+    )
+    n_blank = sum(
+        1 for r in src if r["o_orderkey"] % 89 == 0 or r["o_orderpriority"] == ""
+    )
+    n_nan = sum(
+        1
+        for r in src
+        if r["o_orderkey"] % 101 == 0
+        or (r["o_totalprice"] is not None and math.isnan(r["o_totalprice"]))
+    )
+    assert got["o_orderstatus"].tgt_null == n_status
+    assert got["o_orderpriority"].tgt_blank == n_blank
+    assert got["o_totalprice"].tgt_nan == n_nan
+    # untouched columns must report MATCH; touched ones DRIFT (the fixture
+    # guarantees at least one key hits each modulus at every sf)
+    for c in ("o_orderkey", "o_custkey", "o_orderdate"):
+        assert got[c].status == "MATCH"
+    for c in ("o_orderstatus", "o_orderpriority", "o_totalprice"):
+        assert got[c].status == "DRIFT"
