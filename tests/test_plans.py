@@ -464,3 +464,48 @@ def test_doc_outliers_stats_broadcast_back(spark, sf_dir):
 
     p = plan(x_doc_outliers(spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_chunk_pack_is_single_exchange(spark, sf_dir):
+    """x_chunk_pack: the chunk stage is narrow and the (shard, seq)
+    groupBy must reuse the shard-window's hash partitioning — exactly ONE
+    Exchange in the whole plan. Two means the same-key clustering was
+    lost and the corpus shuffles twice."""
+    import re
+
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_chunk_pack
+
+    p = plan(x_chunk_pack(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    n_shuffles = len(re.findall(r"\bExchange\b", tree))
+    assert n_shuffles == 1, tree
+    assert "Window" in tree
+
+
+def test_bloomprune_broadcasts_filter_and_builds_it_once(spark, sf_dir):
+    """join_bloomprune: all four word-table probe joins and the exact
+    semi-join must be broadcast joins (the probe side never shuffles), and
+    the word table must come from the checkpoint — a bit_or aggregate in
+    the final plan means each broadcast re-ran the filter build."""
+    from reconciliation_hive_data_spark.plans.sketches import join_bloomprune
+
+    p = plan(join_bloomprune(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "bit_or" not in p  # word table read from the checkpoint
+    assert "LeftSemi" in tree
+
+
+def test_null_profile_is_one_pass_per_side(spark, sf_dir):
+    """recon_null_profile: all 3×|cols| counters per side must come from a
+    single two-phase aggregate over one scan — two parquet scans total,
+    and the columns-sized join broadcasts."""
+    from reconciliation_hive_data_spark.plans.recon import recon_null_profile
+
+    p = plan(recon_null_profile(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
