@@ -172,6 +172,73 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# join_skew_salted — salted shuffle join for skewed join keys
+# ---------------------------------------------------------------------------
+
+_SKEW_JOIN_SALT = 16
+
+_SKEW_JOIN_ORACLE = f"""
+WITH d AS (
+  SELECT event_type,
+         COUNT(*) AS type_n,
+         {money_sum_sql('value', 'type_sum')}
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id AS event_id,
+       e.event_type AS event_type,
+       d.type_n AS type_n,
+       e.value / d.type_sum AS value_share
+FROM events e JOIN d ON e.event_type = d.event_type
+"""
+
+
+@query("join_skew_salted", oracle=_SKEW_JOIN_ORACLE)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted SHUFFLE join for a skewed key: events joined to a per-type
+    dimension on event_type (5 distinct values), so a plain shuffle join
+    lands the whole fact table on 5 reducers. The fact side salts each row
+    with pmod(crc32(event_id), 16) — deterministic, no rand() — and the
+    dimension side is replicated once per salt value (explode over
+    0..15), so the join key becomes (event_type, salt) and each hot key
+    spreads over 16 partitions. The salt is an implementation detail: every
+    fact row still matches exactly one dim replica, so the output is
+    row-identical to the unsalted join and shares its oracle.
+
+    The shuffle_hash hint keeps the dim on the shuffle path on purpose —
+    at fixture scale Catalyst would broadcast it (the right call for a
+    5-row dim, and ``join_broadcast`` covers it). This operator is the
+    100 TB lever for the OTHER case: a dimension too large to broadcast
+    joined on a skewed key — e.g. a multi-GB per-domain stats table joined
+    to a crawl on domain, where 'en.wikipedia.org' is 1000× the median.
+    AQE's skew-join split only kicks in for sort-merge joins after stats
+    are observed; pre-salting handles the first shuffle and keys whose
+    skew AQE underestimates. The replicate factor scales the dim 16× —
+    chosen so each replica partition still fits a hash build.
+    type_sum is an exact-decimal sum surfaced as double (canonical
+    money_sum), and value / type_sum is IEEE double division — both
+    bit-identical cross-engine, so the join stays fully hash-checkable."""
+    ev = load(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_n"),
+        money_sum("value", "type_sum"),
+    )
+    fact = ev.withColumn(
+        "salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(_SKEW_JOIN_SALT))
+    )
+    dim_rep = dim.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(_SKEW_JOIN_SALT - 1).cast("long"))),
+    )
+    joined = fact.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
+    return joined.select(
+        "event_id",
+        "event_type",
+        "type_n",
+        (F.col("value") / F.col("type_sum")).alias("value_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # s_stream_stream — stream-stream inner band join
 # ---------------------------------------------------------------------------
 

@@ -509,3 +509,16 @@ def test_null_profile_is_one_pass_per_side(spark, sf_dir):
     assert tree.count("Scan parquet") == 2
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_skew_salted_join_stays_on_shuffle_path(spark, sf_dir):
+    """join_skew_salted: the dim join must NOT collapse to a broadcast
+    (the hint pins the shuffle-hash path the operator exists to exercise)
+    and the join keys must include the salt so hot keys actually spread."""
+    from reconciliation_hive_data_spark.plans.scale_ops import join_skew_salted
+
+    p = plan(join_skew_salted(spark, sf_dir))
+    tree = p.split("\n\n")[0]
+    assert "ShuffledHashJoin" in tree
+    assert "BroadcastHashJoin" not in tree
+    assert "salt" in p

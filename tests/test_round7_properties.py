@@ -138,3 +138,32 @@ def test_null_profile_drift_matches_key_arithmetic(spark, sf_dir):
         assert got[c].status == "MATCH"
     for c in ("o_orderstatus", "o_orderpriority", "o_totalprice"):
         assert got[c].status == "DRIFT"
+
+
+def test_skew_salted_join_is_row_identical_to_unsalted(spark, sf_dir):
+    """The salt must be invisible in the output: the salted shuffle join's
+    rows must equal the plain (broadcast-eligible) join's rows bit-exactly
+    — same ids, same shares — and every event must appear exactly once
+    (a salt-replication bug would duplicate or drop fact rows)."""
+    from reconciliation_hive_data_spark.catalog import load
+    from reconciliation_hive_data_spark.plans.scale_ops import join_skew_salted
+
+    got = join_skew_salted(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    dim = ev.groupBy("event_type").agg(
+        F.count("*").alias("type_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("type_sum"),
+    )
+    plain = (
+        ev.join(F.broadcast(dim), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "type_n",
+            (F.col("value") / F.col("type_sum")).alias("value_share"),
+        )
+    )
+    assert got.exceptAll(plain).count() == 0
+    assert plain.exceptAll(got).count() == 0

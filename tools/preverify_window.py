@@ -1,0 +1,65 @@
+"""Replay the projected driver verification window locally at the driver's
+correctness scale (sf0.01) through the strict parity harness. Usage::
+
+    python tools/preverify_window.py [window_size] [sf_dir]
+
+The driver compares each window query's Spark result against its DuckDB
+oracle at sf0.01; test_parity covers the same ground but at sf0.001 (speed).
+Running this before round end catches sf-dependent drift (approximation
+buckets, quantile interpolation, fixture-vintage sensitivity) in exactly the
+rows the next CORRECTNESS_r{N}.json will grade. Rows-only queries are run
+and counted, mirroring the driver's weaker check.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reconciliation_hive_data_spark import registry  # noqa: E402
+from reconciliation_hive_data_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tests.parity import compare  # late: needs repo root on sys.path
+
+    registry.load_all_modules()
+    names = registry.ordered_names()[:window]
+    spark = get_spark("rhds-preverify", shuffle_partitions=16)
+    failures: list[str] = []
+    for i, name in enumerate(names):
+        spec = registry.get(name)
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            if spec.oracle:
+                problems = compare(df, spec.oracle, sf_dir, name)
+                status = "ok" if not problems else "FAIL"
+                if problems:
+                    failures.append(name)
+            else:
+                n = df.count()
+                problems = [] if n >= 0 and df.columns else [f"{name}: empty schema"]
+                status = f"rows-only ok ({n})" if not problems else "FAIL"
+        except Exception as exc:  # noqa: BLE001 — report and continue the sweep
+            problems = [f"{name}: raised {exc!r}"]
+            failures.append(name)
+            status = "ERROR"
+        dt = time.time() - t0
+        print(f"[{i + 1:2d}/{len(names)}] {name:28s} {status:18s} {dt:5.1f}s", flush=True)
+        for p in problems:
+            print(f"       {p}", flush=True)
+    print(f"\n{len(names) - len(failures)}/{len(names)} green at {sf_dir}")
+    if failures:
+        print("failing:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
