@@ -177,6 +177,32 @@ def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKEW_JOIN_SALT = 16
 
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    salt_src: str,
+    k: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Generic pre-salting equi-join: fact rows get a deterministic salt in
+    [0, k) from crc32 of ``salt_src`` (any fact column with spread — no
+    rand(), so retries/speculative tasks agree), the dim side is replicated
+    once per salt value, and the join runs on keys + salt with a
+    shuffle_hash hint. Each fact row matches exactly one replica of its dim
+    row, so for inner/left joins the result is row-identical to the
+    unsalted join while each hot key's rows spread over k partitions.
+    The salt column is internal and dropped from the output."""
+    f = fact.withColumn(
+        "__salt", F.pmod(F.crc32(F.col(salt_src).cast("string")), F.lit(k))
+    )
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long"))),
+    )
+    return f.join(d.hint("shuffle_hash"), [*keys, "__salt"], how).drop("__salt")
+
 _SKEW_JOIN_ORACLE = f"""
 WITH d AS (
   SELECT event_type,
@@ -222,14 +248,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("type_n"),
         money_sum("value", "type_sum"),
     )
-    fact = ev.withColumn(
-        "salt", F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(_SKEW_JOIN_SALT))
-    )
-    dim_rep = dim.withColumn(
-        "salt",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(_SKEW_JOIN_SALT - 1).cast("long"))),
-    )
-    joined = fact.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
+    joined = salted_join(ev, dim, ["event_type"], "event_id", _SKEW_JOIN_SALT)
     return joined.select(
         "event_id",
         "event_type",

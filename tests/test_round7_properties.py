@@ -167,3 +167,40 @@ def test_skew_salted_join_is_row_identical_to_unsalted(spark, sf_dir):
     )
     assert got.exceptAll(plain).count() == 0
     assert plain.exceptAll(got).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    k=st.integers(min_value=1, max_value=32),
+    rows=st.lists(
+        st.tuples(st.integers(0, 999), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_salted_join_is_salt_count_invariant(spark, k, rows):
+    """salted_join must be row-identical to the plain join for ANY salt
+    count k — inner (every fact key present in dim) and left (key 'd' has
+    no dim row, so its fact rows must survive exactly once with nulls).
+    A replication bug (missing salt value, off-by-one sequence bound,
+    salt-type mismatch) breaks one of these for some k."""
+    from reconciliation_hive_data_spark.plans.scale_ops import salted_join
+
+    fact = spark.createDataFrame(rows, "id long, key string")
+    dim = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, payload int"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, ["key"], "id", k, how=how)
+        plain = fact.join(dim, "key", how)
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
