@@ -1,0 +1,73 @@
+"""Empirical scale-sensitivity audit: compare per-query medians across the
+three bench artifacts (sf0.001 / sf0.01 / sf0.1 — each a 10× data step) and
+classify growth. Usage::
+
+    python tools/scale_curve.py [--json]
+
+For each query with all three points, computes r1 = t(0.01)/t(0.001) and
+r2 = t(0.1)/t(0.01). At local fixture scales most queries are
+overhead-dominated (r ≈ 1); linear compute shows r ≲ 10; r2 meaningfully
+above 10 is the red flag — work growing faster than data (quadratic
+candidate-pair terms, unbounded windows) that a 1000× scale-up would
+amplify. The audit prints the r2-descending tail so every flagged query
+can be matched against its documented blocking-key bound.
+
+Artifacts must come from the same boot to be comparable (PERF.md documents
+the 1.3-1.6× cross-boot swing); single-query ratios under ~0.3 s at the
+larger sf are noise-dominated and marked accordingly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ARTIFACTS = {
+    0.001: "BENCH_FULL_sf0.001.json",
+    0.01: "BENCH_FULL_sf0.01.json",
+    0.1: "BENCH_FULL.json",
+}
+
+
+def main() -> int:
+    data: dict[float, dict[str, float]] = {}
+    for sf, fname in ARTIFACTS.items():
+        path = os.path.join(_HERE, fname)
+        if not os.path.exists(path):
+            print(f"missing {fname} — run bench.py with SPARK_GRAFT_SF_DIR for sf{sf}")
+            return 1
+        data[sf] = json.load(open(path))["queries"]
+    shared = sorted(set(data[0.001]) & set(data[0.01]) & set(data[0.1]))
+    rows = []
+    for q in shared:
+        t1, t2, t3 = data[0.001][q], data[0.01][q], data[0.1][q]
+        r1 = t2 / t1 if t1 > 0 else float("nan")
+        r2 = t3 / t2 if t2 > 0 else float("nan")
+        noise = t3 < 0.3  # sub-0.3s at sf0.1: scheduling floor, ratios meaningless
+        rows.append((r2, r1, t1, t2, t3, q, noise))
+    rows.sort(reverse=True)
+    if "--json" in sys.argv:
+        print(
+            json.dumps(
+                {
+                    q: {"t_sf0.001": t1, "t_sf0.01": t2, "t_sf0.1": t3, "r1": round(r1, 2), "r2": round(r2, 2)}
+                    for r2, r1, t1, t2, t3, q, _ in rows
+                }
+            )
+        )
+        return 0
+    print(f"{len(shared)} queries; r1 = t(0.01)/t(0.001), r2 = t(0.1)/t(0.01) — data ×10 each step")
+    print(f"{'query':30s} {'t.001':>7s} {'t.01':>7s} {'t.1':>7s} {'r1':>6s} {'r2':>6s}")
+    for r2, r1, t1, t2, t3, q, noise in rows[:30]:
+        tag = "  (noise floor)" if noise else ""
+        print(f"{q:30s} {t1:7.2f} {t2:7.2f} {t3:7.2f} {r1:6.2f} {r2:6.2f}{tag}")
+    flagged = [q for r2, r1, t1, t2, t3, q, noise in rows if r2 > 10 and not noise]
+    print(f"\nsuperlinear flags (r2 > 10, non-noise): {flagged or 'none'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
