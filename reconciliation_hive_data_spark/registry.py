@@ -66,7 +66,7 @@ _MODULES = (
 _MODIFIED_IN_ROUND: dict[str, int] = {
     "join_asof": 2,          # linear window plan replaced the join-based plan
     "join_self": 2,          # composite (user_id, bucket) equi-join key added
-    "x_dedup_embed": 5,      # checkpointed norm table before the pair join
+    "x_dedup_embed": 7,      # coord-bucket equi-join candidate generation
     "s_stateful_custom": 3,  # vectorized micro-unit accumulator
     "x_decontaminate": 3,    # array-side gram totals (single explode)
     "x_dedup_near": 5,            # persisted shingle table + checkpointed result

@@ -204,3 +204,47 @@ def test_salted_join_is_salt_count_invariant(spark, k, rows):
         plain = fact.join(dim, "key", how)
         assert got.exceptAll(plain).count() == 0
         assert plain.exceptAll(got).count() == 0
+
+
+def test_dedup_embed_matches_numpy_all_pairs(spark, sf_dir):
+    """The bucket equi-join candidate generation must find EXACTLY the
+    pairs a brute-force all-pairs numpy recompute finds — a lost
+    bucket-boundary pair (off-by-one in the home±1 explode, a wrong
+    bucket width vs the √0.002 bound) shows up here as a missing row."""
+    import numpy as np
+
+    from reconciliation_hive_data_spark.plans.llm import x_dedup_embed
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in x_dedup_embed(spark, sf_dir).collect()
+    }
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pylist()
+    rows = [(r["vec_id"], r["label"], np.array(r["embedding"], dtype=np.float64)) for r in tbl]
+    rows += [
+        (vid + 1000000, lab, emb) for vid, lab, emb in rows if vid % 100 == 0
+    ]
+    expected = set()
+    for i, (ia, la, ea) in enumerate(rows):
+        for ib, lb, eb in rows[i + 1 :]:
+            if la != lb:
+                continue
+            va, vb = (ia, ib) if ia < ib else (ib, ia)
+            cos = float(ea @ eb) / (np.linalg.norm(ea) * np.linalg.norm(eb))
+            if cos >= 0.999 - 1e-12:
+                expected.add((va, vb))
+    # symmetric epsilon band: exclude pairs whose numpy cosine sits within
+    # 1e-9 of the threshold from the strict equality (engine fold order
+    # may land the other side, same guard as the doc-outliers test)
+    borderline = {
+        (va, vb)
+        for i, (ia, la, ea) in enumerate(rows)
+        for ib, lb, eb in rows[i + 1 :]
+        if la == lb
+        for va, vb in [((ia, ib) if ia < ib else (ib, ia))]
+        if abs(
+            float(ea @ eb) / (np.linalg.norm(ea) * np.linalg.norm(eb)) - 0.999
+        )
+        < 1e-9
+    }
+    assert got - borderline == expected - borderline
