@@ -32,23 +32,48 @@ ARTIFACTS = {
 }
 
 
-def main() -> int:
-    data: dict[float, dict[str, float]] = {}
-    for sf, fname in ARTIFACTS.items():
-        path = os.path.join(_HERE, fname)
-        if not os.path.exists(path):
-            print(f"missing {fname} — run bench.py with SPARK_GRAFT_SF_DIR for sf{sf}")
-            return 1
-        data[sf] = json.load(open(path))["queries"]
+#: r2 above this is a superlinear flag: time grew >10× on a 10× data step.
+FLAG_R2 = 10.0
+#: sub-this at sf0.1 is the local scheduling floor — ratios are noise.
+NOISE_FLOOR_S = 0.3
+
+
+def audit(
+    data: dict[float, dict[str, float]],
+) -> tuple[list[tuple], list[str]]:
+    """Given {sf: {query: median_sec}} for the three sfs, return
+    (rows sorted by r2 desc, flagged query names). rows are
+    (r2, r1, t0.001, t0.01, t0.1, name, is_noise)."""
     shared = sorted(set(data[0.001]) & set(data[0.01]) & set(data[0.1]))
     rows = []
     for q in shared:
         t1, t2, t3 = data[0.001][q], data[0.01][q], data[0.1][q]
         r1 = t2 / t1 if t1 > 0 else float("nan")
         r2 = t3 / t2 if t2 > 0 else float("nan")
-        noise = t3 < 0.3  # sub-0.3s at sf0.1: scheduling floor, ratios meaningless
+        noise = t3 < NOISE_FLOOR_S
         rows.append((r2, r1, t1, t2, t3, q, noise))
     rows.sort(reverse=True)
+    flagged = [q for r2, _, _, _, _, q, noise in rows if r2 > FLAG_R2 and not noise]
+    return rows, flagged
+
+
+def load_artifacts(root: str = _HERE) -> dict[float, dict[str, float]] | None:
+    data: dict[float, dict[str, float]] = {}
+    for sf, fname in ARTIFACTS.items():
+        path = os.path.join(root, fname)
+        if not os.path.exists(path):
+            print(f"missing {fname} — run bench.py with SPARK_GRAFT_SF_DIR for sf{sf}")
+            return None
+        data[sf] = json.load(open(path))["queries"]
+    return data
+
+
+def main() -> int:
+    data = load_artifacts()
+    if data is None:
+        return 1
+    rows, flagged = audit(data)
+    shared = [r[5] for r in rows]
     if "--json" in sys.argv:
         print(
             json.dumps(
@@ -64,9 +89,8 @@ def main() -> int:
     for r2, r1, t1, t2, t3, q, noise in rows[:30]:
         tag = "  (noise floor)" if noise else ""
         print(f"{q:30s} {t1:7.2f} {t2:7.2f} {t3:7.2f} {r1:6.2f} {r2:6.2f}{tag}")
-    flagged = [q for r2, r1, t1, t2, t3, q, noise in rows if r2 > 10 and not noise]
-    print(f"\nsuperlinear flags (r2 > 10, non-noise): {flagged or 'none'}")
-    return 0
+    print(f"\nsuperlinear flags (r2 > {FLAG_R2:g}, non-noise): {flagged or 'none'}")
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
