@@ -50,3 +50,29 @@ def test_committed_artifacts_have_no_superlinear_query():
     rows, flagged = audit(data)
     assert len(rows) >= 190
     assert not flagged, f"superlinear queries: {flagged}"
+
+
+def test_committed_bench_artifacts_are_internally_consistent():
+    """Each committed BENCH_FULL artifact must be self-consistent (value ==
+    sum of per-query medians, no failed queries, full registry coverage)
+    and cover the same query set as the others — a partial or mixed-boot
+    refresh would silently skew the cross-sf ratios above."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sets = []
+    for fname in (
+        "BENCH_FULL.json",
+        "BENCH_FULL_sf0.01.json",
+        "BENCH_FULL_sf0.001.json",
+    ):
+        d = json.load(open(os.path.join(root, fname)))
+        assert abs(d["value"] - sum(d["queries"].values())) < 0.01, fname
+        assert d["failed"] == [], fname
+        sets.append(set(d["queries"]))
+    assert sets[0] == sets[1] == sets[2]
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    assert sets[0] == set(registry.REGISTRY)
