@@ -193,9 +193,16 @@ def salted_join(
     shuffle_hash hint. Each fact row matches exactly one replica of its dim
     row, so for inner/left joins the result is row-identical to the
     unsalted join while each hot key's rows spread over k partitions.
-    The salt column is internal and dropped from the output."""
+    A NULL ``salt_src`` value coalesces to '' before hashing — crc32(NULL)
+    would yield a NULL salt and silently drop that fact row's dim match,
+    breaking the row-identical guarantee. The salt column is internal and
+    dropped from the output."""
     f = fact.withColumn(
-        "__salt", F.pmod(F.crc32(F.col(salt_src).cast("string")), F.lit(k))
+        "__salt",
+        F.pmod(
+            F.crc32(F.coalesce(F.col(salt_src).cast("string"), F.lit(""))),
+            F.lit(k),
+        ),
     )
     d = dim.withColumn(
         "__salt",

@@ -206,6 +206,27 @@ def test_salted_join_is_salt_count_invariant(spark, k, rows):
         assert plain.exceptAll(got).count() == 0
 
 
+def test_salted_join_survives_null_salt_source(spark):
+    """A NULL salt_src value must not lose the row: crc32(NULL) is NULL,
+    so without the coalesce the fact row's salt is NULL, the equi-join on
+    keys+__salt finds no dim replica, and the row is dropped (inner) or
+    wrongly null-padded (left) — breaking the documented row-identical
+    guarantee (r7 ADVICE item)."""
+    from reconciliation_hive_data_spark.plans.scale_ops import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (None, "a"), (None, "b"), (3, "d")], "id long, key string"
+    )
+    dim = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "key string, payload int"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, ["key"], "id", 8, how=how)
+        plain = fact.join(dim, "key", how)
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+
 def test_dedup_embed_matches_numpy_all_pairs(spark, sf_dir):
     """The bucket equi-join candidate generation must find EXACTLY the
     pairs a brute-force all-pairs numpy recompute finds — a lost

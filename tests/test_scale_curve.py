@@ -33,6 +33,22 @@ def test_audit_flags_superlinear_growth():
     assert r2["lin"] < FLAG_R2
 
 
+def test_audit_flags_unmeasurable_ratios_instead_of_passing_them():
+    """A zero/NaN median makes the growth ratio unmeasurable — that is a
+    corrupt artifact and must FAIL the gate, not slide through via
+    ``NaN > FLAG_R2 == False`` (r7 ADVICE item)."""
+    data = {
+        0.001: {"lin": 1.0, "corrupt": 0.5},
+        0.01: {"lin": 2.0, "corrupt": 0.0},
+        0.1: {"lin": 8.0, "corrupt": 1.0},
+    }
+    rows, flagged = audit(data)
+    assert flagged == ["corrupt"]
+    # the corrupt query never reaches the sorted rows, so no NaN scrambles
+    # the r2-descending ordering
+    assert [q for *_, q, _ in rows] == ["lin"]
+
+
 def test_audit_noise_floor_suppresses_tiny_queries():
     # 0.01s -> 0.2s is a 20x ratio but still under the sf0.1 noise floor
     data = {0.001: {"tiny": 0.005}, 0.01: {"tiny": 0.01}, 0.1: {"tiny": 0.2}}

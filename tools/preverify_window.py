@@ -26,7 +26,6 @@ from reconciliation_hive_data_spark.session import get_spark  # noqa: E402
 def main() -> int:
     window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tests.parity import compare  # late: needs repo root on sys.path
 
     registry.load_all_modules()
@@ -44,8 +43,15 @@ def main() -> int:
                 if problems:
                     failures.append(name)
             else:
+                # every rows-only query is guaranteed non-empty at fixture
+                # scale (counts pinned in tests/test_rows_only_invariants.py),
+                # so an empty result here is a real failure, not a weak pass
                 n = df.count()
-                problems = [] if n >= 0 and df.columns else [f"{name}: empty schema"]
+                problems = (
+                    []
+                    if n > 0 and df.columns
+                    else [f"{name}: empty result or schema ({n} rows)"]
+                )
                 status = f"rows-only ok ({n})" if not problems else "FAIL"
         except Exception as exc:  # noqa: BLE001 — report and continue the sweep
             problems = [f"{name}: raised {exc!r}"]

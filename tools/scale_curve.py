@@ -43,17 +43,27 @@ def audit(
 ) -> tuple[list[tuple], list[str]]:
     """Given {sf: {query: median_sec}} for the three sfs, return
     (rows sorted by r2 desc, flagged query names). rows are
-    (r2, r1, t0.001, t0.01, t0.1, name, is_noise)."""
+    (r2, r1, t0.001, t0.01, t0.1, name, is_noise).
+
+    A non-positive (or non-finite) median makes the ratio unmeasurable —
+    that is a corrupt artifact, not a pass, so the query is flagged
+    explicitly instead of letting ``NaN > FLAG_R2 == False`` slip it
+    through the gate (and NaNs never reach the sort, whose ordering they
+    would scramble)."""
     shared = sorted(set(data[0.001]) & set(data[0.01]) & set(data[0.1]))
     rows = []
+    flagged = []
     for q in shared:
         t1, t2, t3 = data[0.001][q], data[0.01][q], data[0.1][q]
-        r1 = t2 / t1 if t1 > 0 else float("nan")
-        r2 = t3 / t2 if t2 > 0 else float("nan")
+        if not all(t == t and t > 0 for t in (t1, t2, t3)):
+            flagged.append(q)
+            continue
+        r1 = t2 / t1
+        r2 = t3 / t2
         noise = t3 < NOISE_FLOOR_S
         rows.append((r2, r1, t1, t2, t3, q, noise))
     rows.sort(reverse=True)
-    flagged = [q for r2, _, _, _, _, q, noise in rows if r2 > FLAG_R2 and not noise]
+    flagged += [q for r2, _, _, _, _, q, noise in rows if r2 > FLAG_R2 and not noise]
     return rows, flagged
 
 
