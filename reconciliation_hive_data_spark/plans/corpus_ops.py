@@ -256,20 +256,13 @@ SELECT src_id, label, nbr_id, cos_sim, rn FROM (
 """
 
 
-@query("x_knn_graph", oracle=_KNN_ORACLE)
-def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph construction (k=3) over the embedding corpus: every
-    vector's top-3 cosine neighbors within its label block — the structure
-    SemDeDup-style semantic dedup and graph-based corpus clustering start
-    from (x_sim_search answers one probe; this materializes the whole
-    graph). Rank is deterministic via the (cos DESC, nbr_id) tie-break;
-    the cosine is emitted raw (bit-identical fold, see dot()).
-
-    At 100 TB: label is the blocking key bounding the quadratic term —
-    production swaps it for an IVF/LSH bucket (x_sim_ivf's signature) with
-    identical plan shape: norms precomputed once, equi-join on the block,
-    per-src top-k via one window over block-local pairs. The k-sized
-    output is corpus×k rows — linear in the corpus."""
+def _knn_half_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered half of the block-local pair set (src_id < nbr_id) with the
+    cosine folded once per unordered pair. Kept un-checkpointed so the
+    plan tests can assert the join keys on the label block. (An unrolled
+    64-term add-chain was tried for the fold and measured 3× SLOWER than
+    the interpreted higher-order fold — the giant codegen expression
+    loses; keep the fold.)"""
     e = load(spark, sf_dir, "embeddings")
     n = e.withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
     a = n.select(
@@ -284,14 +277,56 @@ def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("src_id") != F.col("nbr_id"))
+    return a.join(
+        b,
+        (F.col("label") == F.col("label_b")) & (F.col("src_id") < F.col("nbr_id")),
     ).select(
         "src_id",
         "label",
         "nbr_id",
         (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
     )
+
+
+@query("x_knn_graph", oracle=_KNN_ORACLE)
+def x_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction (k=3) over the embedding corpus: every
+    vector's top-3 cosine neighbors within its label block — the structure
+    SemDeDup-style semantic dedup and graph-based corpus clustering start
+    from (x_sim_search answers one probe; this materializes the whole
+    graph). Rank is deterministic via the (cos DESC, nbr_id) tie-break;
+    the cosine is emitted raw (bit-identical fold, see dot()).
+
+    At 100 TB: label is the blocking key bounding the quadratic term —
+    production swaps it for an IVF/LSH bucket (x_sim_ivf's signature) with
+    identical plan shape: norms precomputed once, equi-join on the block,
+    per-src top-k via one window over block-local pairs. The k-sized
+    output is corpus×k rows — linear in the corpus.
+
+    Cosine is symmetric, so the 64-wide fold runs only on the ordered
+    half (src_id < nbr_id); each half row then explodes into its two
+    directed rows (forward + id-swapped mirror) in the same narrow
+    stage — no checkpoint, no second scan, and the fold result is a
+    plain column reference by explode time (CollapseProject keeps the
+    non-cheap fold in its own projection, so it is NOT re-evaluated per
+    direction — pinned by the plan test). Bit-identical to folding both
+    directions: the fold sums the same per-index IEEE products in the
+    same index order, and na*nb == nb*na by IEEE-754 multiply
+    commutativity. Halves the dominant cost (r7 plan audit)."""
+    half = _knn_half_pairs(spark, sf_dir)
+    pairs = half.select(
+        F.explode(
+            F.array(
+                F.struct("src_id", "label", "nbr_id", "cos_sim"),
+                F.struct(
+                    F.col("nbr_id").alias("src_id"),
+                    F.col("label"),
+                    F.col("src_id").alias("nbr_id"),
+                    F.col("cos_sim"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     w = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id"))
     return (
         pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))

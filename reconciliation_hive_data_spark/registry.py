@@ -78,6 +78,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
     "x_dedup_clusters": 5,        # checkpointed edge list across CC rounds
     "recon_crossformat": 6,       # ORC target became a fingerprinted artifact
+    "x_knn_graph": 8,             # mirrored half-pair join (cosine folded once)
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

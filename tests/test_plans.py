@@ -437,12 +437,33 @@ def test_kmv_topk_is_takeordered_not_global_sort(spark, sf_dir):
 def test_knn_graph_pair_join_is_equi_on_label(spark, sf_dir):
     """x_knn_graph's pair join must key on the label block — a
     BroadcastNestedLoopJoin means the blocking key got lost and the graph
-    build went all-pairs quadratic."""
+    build went all-pairs quadratic. The join lives in the half-pair
+    helper (the full query checkpoints it, hiding the join from its own
+    plan), and it must keep the src_id < nbr_id ordering filter — losing
+    it doubles the fold work the mirror union exists to halve."""
+    from reconciliation_hive_data_spark.plans.corpus_ops import _knn_half_pairs
+
+    import re
+
+    p = plan(_knn_half_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert re.search(r"src_id#\d+L? < nbr_id#\d+", p)  # ordering filter present
+
+
+def test_knn_graph_mirror_folds_cosine_once_per_unordered_pair(spark, sf_dir):
+    """The directed pair set comes from exploding each half row into its
+    two mirrored directions, with the cosine a plain column reference by
+    explode time. Exactly three folds may appear in the plan (one norm
+    per join side + ONE pair cosine) — a fourth means CollapseProject
+    inlined the fold into both mirror structs and every pair folds twice
+    again (the pre-r8 cost the rewrite removed)."""
     from reconciliation_hive_data_spark.plans.corpus_ops import x_knn_graph
 
     p = plan(x_knn_graph(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the mirror explode
+    assert p.count("aggregate(") == 3
+    assert p.count("zip_with") == 3
 
 
 def test_pmi_unigram_joins_broadcast(spark, sf_dir):
