@@ -249,19 +249,55 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_spark", oracle=None)
+def _hash_spark_oracle() -> str:
+    """Full DuckDB oracle for the Spark-native hash family (r8 upgrade from
+    rows-only). xxhash64/crc32/Murmur3 have no DuckDB twin, so their
+    Spark-computed values ride along as a pinned VALUES table (generated
+    once by tools/gen_fn_hash_expected.py — the three are SPECIFIED
+    algorithms, stable across Spark versions, so the constants are known
+    answers); sha256 is recomputed natively by DuckDB over the same
+    literal domain, a genuine cross-engine hash check."""
+    from ._hash_expected import EXPECTED
+
+    values = ",\n".join(f"({n}, {xx}, {crc}, {mm})" for n, xx, crc, mm in EXPECTED)
+    return f"""
+WITH dom AS (
+  SELECT CAST(r AS BIGINT) AS n, CAST(r AS VARCHAR) AS s
+  FROM range(1, {_HASH_DOMAIN_N + 1}) t(r)
+),
+exp(n, xx64, crc, murmur3) AS (VALUES
+{values}
+)
+SELECT d.n AS n,
+       CAST(e.xx64 AS BIGINT) AS xx64,
+       CAST(e.crc AS BIGINT) AS crc,
+       CAST(e.murmur3 AS INT) AS murmur3,
+       sha256(d.s) AS sha256
+FROM dom d JOIN exp e ON d.n = e.n
+"""
+
+
+_HASH_DOMAIN_N = 2000
+
+
+@query("fn_hash_spark", oracle=_hash_spark_oracle())
 def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-native hash family (xxhash64 / crc32 / sha2 / murmur3) — no
-    DuckDB twin exists, rows-only by design (SURVEY.md §2h). xxhash64 is the
-    scale choice for shuffle-key fingerprints: 8-byte output, ~10× md5
+    """Spark-native hash family (xxhash64 / crc32 / sha2 / murmur3) over
+    the stringified literal domain 1..2000 — deterministic at every sf, so
+    the Spark-only hashes are fully hash-checkable against the pinned
+    known-answer table in the oracle (SURVEY.md §2h, upgraded from
+    rows-only in r8); sha256 is DuckDB-recomputed natively. xxhash64 is
+    the scale choice for shuffle-key fingerprints: 8-byte output, ~10× md5
     throughput, codegen-friendly."""
-    p = load(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.xxhash64("p_name", "p_brand").alias("xx64"),
-        F.crc32(F.col("p_name").cast("binary")).alias("crc"),
-        F.sha2(F.col("p_name").cast("binary"), 256).alias("sha256"),
-        F.hash("p_name").alias("murmur3"),
+    d = spark.range(1, _HASH_DOMAIN_N + 1).select(
+        F.col("id").alias("n"), F.col("id").cast("string").alias("s")
+    )
+    return d.select(
+        "n",
+        F.xxhash64("s").alias("xx64"),
+        F.crc32(F.col("s").cast("binary")).alias("crc"),
+        F.hash("s").alias("murmur3"),
+        F.sha2(F.col("s").cast("binary"), 256).alias("sha256"),
     )
 
 

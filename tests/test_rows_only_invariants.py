@@ -1,16 +1,19 @@
-"""Exactness backstops for the rows-only registry entries.
+"""Exactness backstops for the rows-only registry entries (and the
+independent recompute behind fn_hash_spark's pinned oracle).
 
-``fn_hash_spark`` and ``x_multimodal_binary`` have no DuckDB twin (Spark-
-native hash family / binary + Python UDF), so the external gate only
-row-counts them. These tests give them the strongest available check:
-per-row comparison against an INDEPENDENT implementation (Python
-``zlib``/``hashlib`` over pyarrow-read bytes — no Spark, no DuckDB), plus
-pinned known-answer literals for the Spark-only hashes (xxhash64 seed-42
-and Murmur3 are specified by Spark and stable across versions — a change
-is a correctness event, not noise).
+``fn_hash_spark`` gained a full DuckDB oracle in r8 (Spark-computed known
+answers carried as a generated VALUES table); the tests here stay as the
+INDEPENDENT leg — per-row comparison against Python ``zlib``/``hashlib``
+(no Spark, no DuckDB) over the same literal domain, plus pinned
+known-answer literals for the Spark-only hashes (xxhash64 seed-42 and
+Murmur3 are specified by Spark and stable across versions — a change is a
+correctness event, not noise). Without this leg the oracle would only
+prove Spark equals its own generated table.
 
-``s_watermark`` stays uncovered by design: its late-row drop set depends
-on micro-batch arrival order, which a batch twin cannot reproduce.
+``x_multimodal_binary`` (binary + Python UDF) keeps its byte-exact
+pyarrow recompute. ``s_watermark`` stays uncovered by design: its
+late-row drop set depends on micro-batch arrival order, which a batch
+twin cannot reproduce.
 """
 
 from __future__ import annotations
@@ -46,27 +49,26 @@ def test_fn_hash_spark_known_answers(spark):
 
 def test_fn_hash_spark_crc_sha_match_python(spark, sf_dir):
     """crc32 and sha256 have independent Python implementations: every row
-    of the query must match them byte-for-byte over the pyarrow-read
-    source (a full-precision check no row-count gate can fake)."""
-    got = {r.p_partkey: r for r in fn_hash_spark(spark, sf_dir).collect()}
-    names = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
-    ).to_pylist()
-    assert len(names) == len(got)
-    for rec in names:
-        r = got[rec["p_partkey"]]
-        raw = rec["p_name"].encode()
+    of the query must match them byte-for-byte over the literal domain (a
+    third engine alongside Spark and the pinned oracle — this is what
+    keeps the generated VALUES table honest for crc, and sha256 honest
+    beyond the DuckDB recompute)."""
+    got = {r.n: r for r in fn_hash_spark(spark, sf_dir).collect()}
+    assert len(got) == 2000
+    for n, r in got.items():
+        raw = str(n).encode()
         assert r.crc == zlib.crc32(raw)
         assert r.sha256 == hashlib.sha256(raw).hexdigest()
 
 
 def test_rows_only_driver_counts_pinned(spark):
-    """The two rows-only-by-design queries are externally gated on row
-    count ALONE, and only every ~4 rounds of the rotation. Pin their
-    sf0.01 counts (the driver's correctness scale) here so a silent
-    row-count drift is caught by every pytest run in between: both counts
-    have been byte-identical in every driver row since round 2 (720 for
-    s_watermark's windowed sessions, 2000 = |part| for fn_hash_spark)."""
+    """Rows-only-by-design queries are externally gated on row count
+    ALONE, and only every ~4 rounds of the rotation. Pin their sf0.01
+    counts (the driver's correctness scale) here so a silent row-count
+    drift is caught by every pytest run in between: 720 for s_watermark's
+    windowed sessions (byte-identical in every driver row since round 2).
+    fn_hash_spark left this cohort in r8 (full oracle) but keeps its 2000
+    literal-domain rows — pinned for driver row-count continuity."""
     from reconciliation_hive_data_spark.streaming.stream_ops import s_watermark
 
     sf001 = "/root/testdata/sf0.01"
