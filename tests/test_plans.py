@@ -451,6 +451,23 @@ def test_knn_graph_pair_join_is_equi_on_label(spark, sf_dir):
     assert re.search(r"src_id#\d+L? < nbr_id#\d+", p)  # ordering filter present
 
 
+def test_dedup_embed_join_key_is_bucket_plus_label(spark, sf_dir):
+    """x_dedup_embed's candidate join must hash on BOTH the coordinate
+    bucket jb and the label equality: Catalyst extracts label==label_b
+    from the post-join filter into the join key, and this pins it so a
+    refactor can't silently demote label back to a filter evaluated over
+    every bucket-local pair (r7 verdict design note)."""
+    import re
+
+    from reconciliation_hive_data_spark.plans.llm import x_dedup_embed
+
+    p = plan(x_dedup_embed(spark, sf_dir))
+    m = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", p)
+    assert m, "no hash join with explicit keys in plan"
+    keys = m.group(1)
+    assert "jb#" in keys and "label#" in keys, keys
+
+
 def test_knn_graph_mirror_folds_cosine_once_per_unordered_pair(spark, sf_dir):
     """The directed pair set comes from exploding each half row into its
     two mirrored directions, with the cosine a plain column reference by
