@@ -487,3 +487,199 @@ def recon_partition_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         status.alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_bucket_hash — Merkle-style hierarchical reconciliation (round 8)
+# ---------------------------------------------------------------------------
+
+#: bucket fan-out of the digest tier; 256 rows cross the wire per full check
+_BH_BUCKETS = 256
+#: digest word modulus (2^32): exact decimal sum → mod → bigint on both engines
+_BH_MOD = 4294967296
+
+
+def _bh_bucket() -> F.Column:
+    """md5-derived key bucket — cheap (hashes the key alone), so the drill
+    tier can prune on it BEFORE paying for the full canonical row hash."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint"),
+        F.lit(_BH_BUCKETS),
+    )
+
+
+def _bh_words(df: DataFrame) -> DataFrame:
+    """Narrow per-row projection: (key, md5-derived bucket, two 32-bit hash
+    words from the canonical row hash). Everything downstream aggregates or
+    joins THESE four columns — the wide row never crosses a shuffle."""
+    h = canonical_row_hash(_ORDER_HASH_COLS)
+    return df.select(
+        F.col("o_orderkey").alias("k"),
+        _bh_bucket().alias("bucket"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("w1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("w2"),
+    )
+
+
+def _bh_digest(words: DataFrame, tag: str) -> DataFrame:
+    """Order-independent per-bucket digest: exact DECIMAL(38,0) sums of the
+    hash words, folded mod 2^32 (sum-mod commutes, so the digest is
+    partition- and order-invariant; decimal sums cannot overflow below
+    ~1e28 rows per bucket). Fully map-side-combinable: the exchange carries
+    at most ``_BH_BUCKETS`` rows per side."""
+
+    def word_digest(col: str) -> F.Column:
+        return (
+            (F.sum(F.col(col).cast("decimal(38,0)")) % F.lit(_BH_MOD))
+            .cast("bigint")
+        )
+
+    return words.groupBy("bucket").agg(
+        F.count("*").alias(f"{tag}_cnt"),
+        word_digest("w1").alias(f"{tag}_d1"),
+        word_digest("w2").alias(f"{tag}_d2"),
+    )
+
+
+def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Two-tier Merkle reconciliation of ``src`` vs ``tgt`` on the orders
+    schema: compare 256 per-bucket digests first, then drill key-level
+    hashes ONLY inside buckets whose digests disagree. Returns one row per
+    differing bucket with both sides' counts, digest words, and the number
+    of differing keys inside it; identical tables produce zero rows."""
+    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
+        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
+    )
+    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+
+    # Drill tier: broadcast the (≤256-row) bad-bucket list so each side is
+    # pruned BEFORE the per-key exchange — at 100 TB the key-level shuffle
+    # touches only the damaged buckets' rows. The prune joins on the CHEAP
+    # key-only bucket, then re-derives the row hash for survivors alone, so
+    # tier-2 CPU (not just shuffle) is bounded by the damage, not the table.
+    bad_buckets = F.broadcast(bad.select("bucket"))
+
+    def keyed(side: DataFrame, tag: str) -> DataFrame:
+        pruned = (
+            side.withColumn("bucket", _bh_bucket()).join(bad_buckets, "bucket")
+        )
+        h = canonical_row_hash(_ORDER_HASH_COLS)
+        return (
+            pruned.select(
+                "bucket",
+                F.col("o_orderkey").alias("k"),
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("w1"),
+            )
+            .groupBy("bucket", "k")
+            .agg(
+                F.count("*").alias(f"{tag}_c"),
+                (F.sum(F.col("w1").cast("decimal(38,0)")) % F.lit(_BH_MOD))
+                .cast("bigint")
+                .alias(f"{tag}_kw"),
+            )
+        )
+
+    key_diff = (
+        keyed(src, "s")
+        .join(keyed(tgt, "t"), ["bucket", "k"], "full_outer")
+        .filter(
+            ~(
+                F.col("s_c").eqNullSafe(F.col("t_c"))
+                & F.col("s_kw").eqNullSafe(F.col("t_kw"))
+            )
+        )
+    )
+    bad_keys = key_diff.groupBy("bucket").agg(F.count("*").alias("n_bad_keys"))
+
+    zero = F.lit(0).cast("bigint")
+    return bad.join(bad_keys, "bucket", "left").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.coalesce("src_cnt", zero).alias("src_cnt"),
+        F.coalesce("tgt_cnt", zero).alias("tgt_cnt"),
+        "src_d1",
+        "src_d2",
+        "tgt_d1",
+        "tgt_d2",
+        F.coalesce("n_bad_keys", zero).alias("n_bad_keys"),
+    )
+
+
+_BH_WORDS_SQL = """
+  SELECT o_orderkey AS k,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 256
+           AS bucket,
+         ('0x' || substr({h}, 1, 8))::BIGINT AS w1,
+         ('0x' || substr({h}, 9, 8))::BIGINT AS w2
+  FROM {table}
+""".format
+
+_BH_DIGEST_SQL = """
+  SELECT bucket, COUNT(*) AS cnt,
+         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS d1,
+         CAST(SUM(CAST(w2 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS d2
+  FROM {words} GROUP BY bucket
+""".format
+
+_BUCKET_HASH_ORACLE = ORDERS_TGT_CTE + f""",
+sw AS ({_BH_WORDS_SQL(table='orders', h=canonical_row_hash_sql(_ORDER_HASH_COLS))}),
+tw AS ({_BH_WORDS_SQL(table='orders_tgt', h=canonical_row_hash_sql(_ORDER_HASH_COLS))}),
+sd AS ({_BH_DIGEST_SQL(words='sw')}),
+td AS ({_BH_DIGEST_SQL(words='tw')}),
+bad AS (
+  SELECT COALESCE(sd.bucket, td.bucket) AS bucket,
+         sd.cnt AS src_cnt, td.cnt AS tgt_cnt,
+         sd.d1 AS src_d1, sd.d2 AS src_d2,
+         td.d1 AS tgt_d1, td.d2 AS tgt_d2
+  FROM sd FULL OUTER JOIN td ON sd.bucket = td.bucket
+  WHERE sd.cnt IS DISTINCT FROM td.cnt
+     OR sd.d1 IS DISTINCT FROM td.d1
+     OR sd.d2 IS DISTINCT FROM td.d2
+),
+sk AS (
+  SELECT bucket, k, COUNT(*) AS c,
+         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw
+  FROM sw WHERE bucket IN (SELECT bucket FROM bad) GROUP BY bucket, k
+),
+tk AS (
+  SELECT bucket, k, COUNT(*) AS c,
+         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw
+  FROM tw WHERE bucket IN (SELECT bucket FROM bad) GROUP BY bucket, k
+),
+kc AS (
+  SELECT COALESCE(sk.bucket, tk.bucket) AS bucket, COUNT(*) AS n_bad_keys
+  FROM sk FULL OUTER JOIN tk ON sk.bucket = tk.bucket AND sk.k = tk.k
+  WHERE sk.c IS DISTINCT FROM tk.c OR sk.kw IS DISTINCT FROM tk.kw
+  GROUP BY 1
+)
+SELECT CAST(bad.bucket AS BIGINT) AS bucket,
+       CAST(COALESCE(src_cnt, 0) AS BIGINT) AS src_cnt,
+       CAST(COALESCE(tgt_cnt, 0) AS BIGINT) AS tgt_cnt,
+       src_d1, src_d2, tgt_d1, tgt_d2,
+       CAST(COALESCE(kc.n_bad_keys, 0) AS BIGINT) AS n_bad_keys
+FROM bad LEFT JOIN kc ON bad.bucket = kc.bucket
+"""
+
+
+@query("recon_bucket_hash", oracle=_BUCKET_HASH_ORACLE)
+def recon_bucket_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style hierarchical reconciliation (SURVEY §7.5.2): the
+    network-efficient 100 TB recon shape. Tier 1 reduces each side to 256
+    order-independent bucket digests — md5-derived 32-bit words of the
+    canonical row hash, summed exactly in DECIMAL(38,0) and folded mod
+    2^32, so the digest is partition-order-invariant and the exchange
+    carries 256 rows regardless of table size. Tier 2 drills key-level
+    hash compares ONLY inside the differing buckets, pruned by a broadcast
+    of the (≤256-row) bad-bucket list before any key shuffle. A clean pair
+    therefore costs two aggregate scans + a 256-row join — recon_rowhash
+    fidelity at recon_rowcount price — and a damaged pair localizes its
+    blast radius to the listed buckets. Buckets come from md5(key), not
+    the key itself, so the digest tier stays uniform under any key
+    distribution. Faults surface as: dropped keys (count + digest), value
+    drift and nulled columns (digest words), duplicated rows (count and
+    per-key word sum)."""
+    src = load(spark, sf_dir, "orders")
+    return bucket_hash_report(src, orders_target(src))

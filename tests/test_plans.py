@@ -560,3 +560,16 @@ def test_skew_salted_join_stays_on_shuffle_path(spark, sf_dir):
     assert "ShuffledHashJoin" in tree
     assert "BroadcastHashJoin" not in tree
     assert "salt" in p
+
+
+def test_bucket_hash_drill_prunes_via_broadcast(spark, sf_dir):
+    """recon_bucket_hash: the key-level drill must prune each side with a
+    broadcast of the (≤256-row) bad-bucket list BEFORE the per-key
+    exchange — both drill inputs join it as BroadcastHashJoin, and the
+    digest tier is a two-phase (map-side-combined) aggregate."""
+    from reconciliation_hive_data_spark.plans.recon_scale import recon_bucket_hash
+
+    p = plan(recon_bucket_hash(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4
