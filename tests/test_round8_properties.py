@@ -15,6 +15,8 @@ hierarchical reconciliation, SURVEY §7.5.2).
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from reconciliation_hive_data_spark.catalog import load
@@ -71,3 +73,58 @@ def test_bucket_hash_digest_partition_invariance(spark, orders):
         )
     )
     assert base == shuffled
+
+
+@st.composite
+def _bh_fault_plan(draw):
+    residues = st.integers(min_value=0, max_value=_FUZZ_MOD - 1)
+    drop = draw(residues)
+    dup = draw(residues.filter(lambda r: r != drop))
+    drift = draw(residues.filter(lambda r: r not in (drop, dup)))
+    return drop, dup, drift
+
+
+_FUZZ_MOD = 97
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=_bh_fault_plan())
+def test_bucket_hash_fuzz_localizes_arbitrary_faults(spark, orders, plan):
+    """Random fault residues (drop / duplicate / drift) must surface as
+    flagged buckets that are EXACTLY the md5-bucket image of the faulted
+    keys, with n_bad_keys matching per bucket — no fault class hides from
+    the digest tier and no clean bucket is ever flagged."""
+    drop, dup, drift = plan
+    key = F.col("o_orderkey")
+    tgt = orders.filter(key % _FUZZ_MOD != drop).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(key % _FUZZ_MOD == drift, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    tgt = tgt.unionByName(tgt.filter(key % _FUZZ_MOD == dup))
+
+    report = bucket_hash_report(orders, tgt).collect()
+    faulted = orders.filter(
+        (key % _FUZZ_MOD).isin(drop, dup, drift)
+    ).select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(key.cast("string")), 1, 4), 16, 10
+            ).cast("bigint"),
+            F.lit(_BH_BUCKETS),
+        ).alias("bucket")
+    )
+    expected = {
+        r.bucket: r.n
+        for r in faulted.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.bucket: r.n_bad_keys for r in report} == expected
