@@ -493,8 +493,12 @@ def recon_partition_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recon_bucket_hash — Merkle-style hierarchical reconciliation (round 8)
 # ---------------------------------------------------------------------------
 
-#: bucket fan-out of the digest tier; 256 rows cross the wire per full check
-_BH_BUCKETS = 256
+#: digest-tier fan-out — the Merkle granularity knob. 4096 leaves keep the
+#: bucket table metadata-sized while the drill prune stays effective even at
+#: the fixture's deliberately dense 4-per-mille fault rate (256 leaves go
+#: all-dirty at sf0.1, degenerating tier 2 into a full rehash; real Merkle
+#: deployments size leaves to expected damage for exactly this reason)
+_BH_BUCKETS = 4096
 #: digest word modulus (2^32): exact decimal sum → mod → bigint on both engines
 _BH_MOD = 4294967296
 
@@ -610,7 +614,7 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
 
 _BH_WORDS_SQL = """
   SELECT o_orderkey AS k,
-         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 256
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % {nb}
            AS bucket,
          ('0x' || substr({h}, 1, 8))::BIGINT AS w1,
          ('0x' || substr({h}, 9, 8))::BIGINT AS w2
@@ -625,8 +629,8 @@ _BH_DIGEST_SQL = """
 """.format
 
 _BUCKET_HASH_ORACLE = ORDERS_TGT_CTE + f""",
-sw AS ({_BH_WORDS_SQL(table='orders', h=canonical_row_hash_sql(_ORDER_HASH_COLS))}),
-tw AS ({_BH_WORDS_SQL(table='orders_tgt', h=canonical_row_hash_sql(_ORDER_HASH_COLS))}),
+sw AS ({_BH_WORDS_SQL(table='orders', h=canonical_row_hash_sql(_ORDER_HASH_COLS), nb=_BH_BUCKETS)}),
+tw AS ({_BH_WORDS_SQL(table='orders_tgt', h=canonical_row_hash_sql(_ORDER_HASH_COLS), nb=_BH_BUCKETS)}),
 sd AS ({_BH_DIGEST_SQL(words='sw')}),
 td AS ({_BH_DIGEST_SQL(words='tw')}),
 bad AS (
@@ -671,7 +675,7 @@ def recon_bucket_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent bucket digests — md5-derived 32-bit words of the
     canonical row hash, summed exactly in DECIMAL(38,0) and folded mod
     2^32, so the digest is partition-order-invariant and the exchange
-    carries 256 rows regardless of table size. Tier 2 drills key-level
+    carries a metadata-sized bucket table regardless of data size. Tier 2 drills key-level
     hash compares ONLY inside the differing buckets, pruned by a broadcast
     of the (≤256-row) bad-bucket list before any key shuffle. A clean pair
     therefore costs two aggregate scans + a 256-row join — recon_rowhash
