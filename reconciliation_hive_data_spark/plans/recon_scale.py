@@ -548,10 +548,11 @@ def _bh_digest(words: DataFrame, tag: str) -> DataFrame:
 
 def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
     """Two-tier Merkle reconciliation of ``src`` vs ``tgt`` on the orders
-    schema: compare 256 per-bucket digests first, then drill key-level
-    hashes ONLY inside buckets whose digests disagree. Returns one row per
-    differing bucket with both sides' counts, digest words, and the number
-    of differing keys inside it; identical tables produce zero rows."""
+    schema: compare the ``_BH_BUCKETS`` per-bucket digests first, then
+    drill key-level hashes ONLY inside buckets whose digests disagree.
+    Returns one row per differing bucket with both sides' counts, digest
+    words, and the number of differing keys inside it; identical tables
+    produce zero rows."""
     sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
     same = (
         F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
@@ -560,11 +561,13 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
     )
     bad = sd.join(td, "bucket", "full_outer").filter(~same)
 
-    # Drill tier: broadcast the (≤256-row) bad-bucket list so each side is
-    # pruned BEFORE the per-key exchange — at 100 TB the key-level shuffle
-    # touches only the damaged buckets' rows. The prune joins on the CHEAP
-    # key-only bucket, then re-derives the row hash for survivors alone, so
-    # tier-2 CPU (not just shuffle) is bounded by the damage, not the table.
+    # Drill tier: broadcast the (≤ _BH_BUCKETS-row, damage-sized) bad-bucket
+    # list so each side is pruned BEFORE the per-key exchange — at 100 TB the
+    # key-level shuffle touches only the damaged buckets' rows. The prune
+    # joins on the CHEAP key-only bucket, then re-derives the row hash for
+    # survivors alone, so tier-2 CPU (not just shuffle) is bounded by the
+    # damage, not the table. Per-key sums fold BOTH hash words so the drill
+    # resolves at the same 64-bit strength as the digest tier.
     bad_buckets = F.broadcast(bad.select("bucket"))
 
     def keyed(side: DataFrame, tag: str) -> DataFrame:
@@ -572,18 +575,27 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
             side.withColumn("bucket", _bh_bucket()).join(bad_buckets, "bucket")
         )
         h = canonical_row_hash(_ORDER_HASH_COLS)
+
+        def key_word(start: int, alias: str) -> F.Column:
+            w = F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
+            return w.alias(alias)
+
         return (
             pruned.select(
                 "bucket",
                 F.col("o_orderkey").alias("k"),
-                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("w1"),
+                key_word(1, "w1"),
+                key_word(9, "w2"),
             )
             .groupBy("bucket", "k")
             .agg(
                 F.count("*").alias(f"{tag}_c"),
                 (F.sum(F.col("w1").cast("decimal(38,0)")) % F.lit(_BH_MOD))
                 .cast("bigint")
-                .alias(f"{tag}_kw"),
+                .alias(f"{tag}_kw1"),
+                (F.sum(F.col("w2").cast("decimal(38,0)")) % F.lit(_BH_MOD))
+                .cast("bigint")
+                .alias(f"{tag}_kw2"),
             )
         )
 
@@ -593,7 +605,8 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
         .filter(
             ~(
                 F.col("s_c").eqNullSafe(F.col("t_c"))
-                & F.col("s_kw").eqNullSafe(F.col("t_kw"))
+                & F.col("s_kw1").eqNullSafe(F.col("t_kw1"))
+                & F.col("s_kw2").eqNullSafe(F.col("t_kw2"))
             )
         )
     )
@@ -645,18 +658,21 @@ bad AS (
 ),
 sk AS (
   SELECT bucket, k, COUNT(*) AS c,
-         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw
+         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw1,
+         CAST(SUM(CAST(w2 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw2
   FROM sw WHERE bucket IN (SELECT bucket FROM bad) GROUP BY bucket, k
 ),
 tk AS (
   SELECT bucket, k, COUNT(*) AS c,
-         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw
+         CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw1,
+         CAST(SUM(CAST(w2 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw2
   FROM tw WHERE bucket IN (SELECT bucket FROM bad) GROUP BY bucket, k
 ),
 kc AS (
   SELECT COALESCE(sk.bucket, tk.bucket) AS bucket, COUNT(*) AS n_bad_keys
   FROM sk FULL OUTER JOIN tk ON sk.bucket = tk.bucket AND sk.k = tk.k
-  WHERE sk.c IS DISTINCT FROM tk.c OR sk.kw IS DISTINCT FROM tk.kw
+  WHERE sk.c IS DISTINCT FROM tk.c OR sk.kw1 IS DISTINCT FROM tk.kw1
+     OR sk.kw2 IS DISTINCT FROM tk.kw2
   GROUP BY 1
 )
 SELECT CAST(bad.bucket AS BIGINT) AS bucket,
@@ -671,14 +687,16 @@ FROM bad LEFT JOIN kc ON bad.bucket = kc.bucket
 @query("recon_bucket_hash", oracle=_BUCKET_HASH_ORACLE)
 def recon_bucket_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merkle-style hierarchical reconciliation (SURVEY §7.5.2): the
-    network-efficient 100 TB recon shape. Tier 1 reduces each side to 256
+    network-efficient 100 TB recon shape. Tier 1 reduces each side to
+    ``_BH_BUCKETS``
     order-independent bucket digests — md5-derived 32-bit words of the
     canonical row hash, summed exactly in DECIMAL(38,0) and folded mod
     2^32, so the digest is partition-order-invariant and the exchange
     carries a metadata-sized bucket table regardless of data size. Tier 2 drills key-level
     hash compares ONLY inside the differing buckets, pruned by a broadcast
-    of the (≤256-row) bad-bucket list before any key shuffle. A clean pair
-    therefore costs two aggregate scans + a 256-row join — recon_rowhash
+    of the damage-sized bad-bucket list before any key shuffle. A clean
+    pair therefore costs two aggregate scans + a metadata-sized digest
+    join — recon_rowhash
     fidelity at recon_rowcount price — and a damaged pair localizes its
     blast radius to the listed buckets. Buckets come from md5(key), not
     the key itself, so the digest tier stays uniform under any key

@@ -438,8 +438,8 @@ def test_knn_graph_pair_join_is_equi_on_label(spark, sf_dir):
     """x_knn_graph's pair join must key on the label block — a
     BroadcastNestedLoopJoin means the blocking key got lost and the graph
     build went all-pairs quadratic. The join lives in the half-pair
-    helper (the full query checkpoints it, hiding the join from its own
-    plan), and it must keep the src_id < nbr_id ordering filter — losing
+    helper, asserted directly so the assertion stays pinned to the join
+    itself rather than the full query's larger plan, and it must keep the src_id < nbr_id ordering filter — losing
     it doubles the fold work the mirror union exists to halve."""
     from reconciliation_hive_data_spark.plans.corpus_ops import _knn_half_pairs
 
@@ -564,7 +564,7 @@ def test_skew_salted_join_stays_on_shuffle_path(spark, sf_dir):
 
 def test_bucket_hash_drill_prunes_via_broadcast(spark, sf_dir):
     """recon_bucket_hash: the key-level drill must prune each side with a
-    broadcast of the (≤256-row) bad-bucket list BEFORE the per-key
+    broadcast of the damage-sized bad-bucket list BEFORE the per-key
     exchange — both drill inputs join it as BroadcastHashJoin, and the
     digest tier is a two-phase (map-side-combined) aggregate."""
     from reconciliation_hive_data_spark.plans.recon_scale import recon_bucket_hash

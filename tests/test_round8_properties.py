@@ -2,7 +2,8 @@
 hierarchical reconciliation, SURVEY §7.5.2).
 
 1. Self-recon is clean: an identical pair yields ZERO report rows (the
-   whole point of the digest tier — a clean check costs 256 rows).
+   whole point of the digest tier — a clean check exchanges only the
+   metadata-sized digest tables).
 2. Injected-fault localization: every faulty key (the %1000 fault
    residues) lands in exactly one flagged bucket, the flagged-bucket set
    is exactly the md5-bucket image of the fault keys, and n_bad_keys
@@ -22,7 +23,7 @@ from pyspark.sql import functions as F
 from reconciliation_hive_data_spark.catalog import load
 from reconciliation_hive_data_spark.plans.recon import orders_target
 from reconciliation_hive_data_spark.plans.recon_scale import (
-    _BH_BUCKETS,
+    _bh_bucket,
     bucket_hash_report,
 )
 
@@ -42,15 +43,7 @@ def test_bucket_hash_localizes_injected_faults(spark, orders):
     report = bucket_hash_report(orders, orders_target(orders)).collect()
     fault_keys = orders.filter(
         (F.col("o_orderkey") % 1000).isin(*FAULT_RESIDUES)
-    ).select(
-        "o_orderkey",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10
-            ).cast("bigint"),
-            F.lit(_BH_BUCKETS),
-        ).alias("bucket"),
-    )
+    ).select("o_orderkey", _bh_bucket().alias("bucket"))
     per_bucket = {
         r.bucket: r.n
         for r in fault_keys.groupBy("bucket").agg(F.count("*").alias("n")).collect()
@@ -115,14 +108,7 @@ def test_bucket_hash_fuzz_localizes_arbitrary_faults(spark, orders, plan):
     report = bucket_hash_report(orders, tgt).collect()
     faulted = orders.filter(
         (key % _FUZZ_MOD).isin(drop, dup, drift)
-    ).select(
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(key.cast("string")), 1, 4), 16, 10
-            ).cast("bigint"),
-            F.lit(_BH_BUCKETS),
-        ).alias("bucket")
-    )
+    ).select(_bh_bucket().alias("bucket"))
     expected = {
         r.bucket: r.n
         for r in faulted.groupBy("bucket").agg(F.count("*").alias("n")).collect()

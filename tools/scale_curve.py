@@ -20,6 +20,7 @@ larger sf are noise-dominated and marked accordingly.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 
@@ -55,7 +56,7 @@ def audit(
     flagged = []
     for q in shared:
         t1, t2, t3 = data[0.001][q], data[0.01][q], data[0.1][q]
-        if not all(t == t and t > 0 for t in (t1, t2, t3)):
+        if not all(math.isfinite(t) and t > 0 for t in (t1, t2, t3)):
             flagged.append(q)
             continue
         r1 = t2 / t1
