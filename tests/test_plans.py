@@ -573,3 +573,8 @@ def test_bucket_hash_drill_prunes_via_broadcast(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 4
+    # column pruning: scans carry only the 6 hash columns, never the
+    # 3 unhashed ones (o_shippriority/o_clerk/o_comment stay on disk)
+    for rs in p.split("ReadSchema")[1:]:
+        first = rs.splitlines()[0]
+        assert "o_comment" not in first and "o_clerk" not in first
