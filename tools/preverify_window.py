@@ -1,7 +1,7 @@
 """Replay the projected driver verification window locally at the driver's
 correctness scale (sf0.01) through the strict parity harness. Usage::
 
-    python tools/preverify_window.py [window_size] [sf_dir]
+    python tools/preverify_window.py [window_size] [sf_dir] [--plain]
 
 The driver compares each window query's Spark result against its DuckDB
 oracle at sf0.01; test_parity covers the same ground but at sf0.001 (speed).
@@ -9,6 +9,13 @@ Running this before round end catches sf-dependent drift (approximation
 buckets, quantile interpolation, fixture-vintage sensitivity) in exactly the
 rows the next CORRECTNESS_r{N}.json will grade. Rows-only queries are run
 and counted, mirroring the driver's weaker check.
+
+``--plain`` replays the window under a bare ``SparkSession.builder`` (no
+UTC/AQE/Arrow/shuffle tuning) — the closest local simulation of the
+driver's own session; a query that only passes under the tuned builder
+would fail its first driver row. Slower (default 200 shuffle partitions),
+so the tuned run is the iterating default and ``--plain`` the
+belt-and-braces pass before round end.
 """
 
 from __future__ import annotations
@@ -24,13 +31,21 @@ from reconciliation_hive_data_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    window = int(args[0]) if args else 50
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     from tests.parity import compare  # late: needs repo root on sys.path
 
     registry.load_all_modules()
     names = registry.ordered_names()[:window]
-    spark = get_spark("rhds-preverify", shuffle_partitions=16)
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("rhds-preverify", shuffle_partitions=16)
     failures: list[str] = []
     for i, name in enumerate(names):
         spec = registry.get(name)
