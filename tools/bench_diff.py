@@ -36,8 +36,16 @@ def main() -> int:
 
     old, new = load_queries(args.old), load_queries(args.new)
     shared = sorted(set(old) & set(new))
-    regs, imps = [], []
+    regs, imps, broke = [], [], []
     for name in shared:
+        # bench.py records a failed query as -1.0: a negative NEW median is
+        # a breakage, not an improvement (and must fail the gate); a
+        # negative OLD median means there is no baseline to compare.
+        if new[name] < 0:
+            broke.append(name)
+            continue
+        if old[name] < 0:
+            continue
         o, n = max(old[name], args.floor), new[name]
         if n > args.ratio * o:
             regs.append((name, old[name], n))
@@ -54,9 +62,11 @@ def main() -> int:
         print(f"  REGRESSION {name}: {o:.2f}s -> {n:.2f}s ({n / max(o, args.floor):.2f}x)")
     for name, o, n in sorted(imps, key=lambda t: t[1] - t[2], reverse=True):
         print(f"  improved   {name}: {o:.2f}s -> {n:.2f}s")
-    if not regs:
+    for name in broke:
+        print(f"  BROKEN     {name}: failed in the new artifact (-1.0)")
+    if not regs and not broke:
         print(f"no regressions >{args.ratio}x (floor {args.floor}s)")
-    return 1 if regs else 0
+    return 1 if regs or broke else 0
 
 
 if __name__ == "__main__":
