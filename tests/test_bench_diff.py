@@ -56,6 +56,21 @@ def test_old_failure_has_no_baseline(tmp_path):
     assert rc == 0 and "REGRESSION" not in out
 
 
+def test_persistent_failure_reported_but_not_gated(tmp_path):
+    # failed in BOTH artifacts: not a regression between them, so the gate
+    # must stay green (else it would be permanently red) — but the line is
+    # still surfaced for the reader
+    rc, out = _run(tmp_path, {"q": -1.0}, {"q": -1.0})
+    assert rc == 0
+    assert "still broken q" in out and "BROKEN     q" not in out
+
+
+def test_totals_exclude_failure_sentinels(tmp_path):
+    # -1.0 sentinels must not deflate the totals line
+    rc, out = _run(tmp_path, {"q": 2.0, "r": -1.0}, {"q": 2.0, "r": -1.0})
+    assert "totals 2.0s -> 2.0s" in out
+
+
 def test_improvement_reported(tmp_path):
     rc, out = _run(tmp_path, {"q": 2.0}, {"q": 1.0})
     assert rc == 0 and "improved   q" in out

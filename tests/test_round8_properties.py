@@ -68,6 +68,9 @@ def test_bucket_hash_digest_partition_invariance(spark, orders):
     assert base == shuffled
 
 
+_FUZZ_MOD = 97
+
+
 @st.composite
 def _bh_fault_plan(draw):
     residues = st.integers(min_value=0, max_value=_FUZZ_MOD - 1)
@@ -75,9 +78,6 @@ def _bh_fault_plan(draw):
     dup = draw(residues.filter(lambda r: r != drop))
     drift = draw(residues.filter(lambda r: r not in (drop, dup)))
     return drop, dup, drift
-
-
-_FUZZ_MOD = 97
 
 
 @settings(

@@ -36,13 +36,16 @@ def main() -> int:
 
     old, new = load_queries(args.old), load_queries(args.new)
     shared = sorted(set(old) & set(new))
-    regs, imps, broke = [], [], []
+    regs, imps, broke, still = [], [], [], []
     for name in shared:
-        # bench.py records a failed query as -1.0: a negative NEW median is
-        # a breakage, not an improvement (and must fail the gate); a
-        # negative OLD median means there is no baseline to compare.
+        # bench.py records a failed query as -1.0.  Gate intent: this tool
+        # detects REGRESSIONS between two artifacts, so only a NEWLY-failing
+        # query (old >= 0, new < 0) is breakage that fails the gate.  A query
+        # failed in BOTH artifacts is reported ("still broken") but does not
+        # fail here — absolute failures are the correctness gate's job, and
+        # a persistent failure must not make this gate permanently red.
         if new[name] < 0:
-            broke.append(name)
+            (still if old[name] < 0 else broke).append(name)
             continue
         if old[name] < 0:
             continue
@@ -52,10 +55,14 @@ def main() -> int:
         elif max(n, args.floor) * args.ratio < o:
             imps.append((name, old[name], n))
 
+    # totals exclude -1.0 failure sentinels so they aren't understated by
+    # 1 s per failed query
+    tot_old = sum(v for v in old.values() if v >= 0)
+    tot_new = sum(v for v in new.values() if v >= 0)
     print(
         f"{len(shared)} shared queries "
         f"(+{len(set(new) - set(old))} new, -{len(set(old) - set(new))} gone); "
-        f"totals {sum(old.values()):.1f}s -> {sum(new.values()):.1f}s"
+        f"totals {tot_old:.1f}s -> {tot_new:.1f}s"
     )
     for name, o, n in sorted(regs, key=lambda t: t[2] / max(t[1], args.floor),
                              reverse=True):
@@ -64,6 +71,8 @@ def main() -> int:
         print(f"  improved   {name}: {o:.2f}s -> {n:.2f}s")
     for name in broke:
         print(f"  BROKEN     {name}: failed in the new artifact (-1.0)")
+    for name in still:
+        print(f"  still broken {name}: failed in both artifacts (not gated here)")
     if not regs and not broke:
         print(f"no regressions >{args.ratio}x (floor {args.floor}s)")
     return 1 if regs or broke else 0

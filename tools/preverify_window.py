@@ -42,6 +42,14 @@ def main() -> int:
     if plain:
         from pyspark.sql import SparkSession
 
+        # getOrCreate() would silently return an already-built (tuned)
+        # session if one exists in this process, defeating the whole point
+        # of --plain; stop it first so the bare builder really builds bare
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            print("--plain: stopping pre-existing SparkSession "
+                  "(would not have been plain)", flush=True)
+            active.stop()
         spark = SparkSession.builder.master("local[8]").getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
     else:
