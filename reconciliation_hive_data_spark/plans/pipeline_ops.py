@@ -1254,3 +1254,134 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(head(10).cast("double") / F.sum("c"), 6).alias("top10_coverage"),
         F.round(head(25).cast("double") / F.sum("c"), 6).alias("top25_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x_attribution — first/last-touch attribution over event sessions
+# ---------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+fl AS (
+  SELECT user_id, session_idx, value,
+         first_value(event_type) OVER w2 AS first_src,
+         last_value(event_type) OVER w2 AS last_src
+  FROM numbered
+  WINDOW w2 AS (PARTITION BY user_id, session_idx ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+per_session AS (
+  SELECT user_id, session_idx, first_src, last_src,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM fl GROUP BY user_id, session_idx, first_src, last_src
+),
+credits AS (
+  SELECT first_src AS source, 'first' AS touch, sv FROM per_session
+  UNION ALL
+  SELECT last_src AS source, 'last' AS touch, sv FROM per_session
+)
+SELECT source,
+       CAST(SUM(CASE WHEN touch = 'first' THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch_sessions,
+       CAST(SUM(CASE WHEN touch = 'last' THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch_sessions,
+       CAST(SUM(CASE WHEN touch = 'first' THEN sv END) AS DOUBLE)
+         AS first_touch_value,
+       CAST(SUM(CASE WHEN touch = 'last' THEN sv END) AS DOUBLE)
+         AS last_touch_value
+FROM credits GROUP BY source
+"""
+
+
+@query("x_attribution", oracle=_ATTRIBUTION_ORACLE)
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution over gap-based sessions: win_sessionize's
+    30-minute-silence sessions, each crediting its full value once to the
+    session's FIRST event type and once to its LAST, rolled up per source —
+    the standard marketing-attribution composite (sessionize → windowed
+    first/last → per-source credit rollup) built from proven parts.
+
+    Plan shape: the session windows, the per-session min_by/max_by
+    aggregate, and its value sum all cluster on user_id — hash-partitioning
+    on user_id satisfies the (user_id, session_idx) clustering requirement
+    (subset rule), so everything up to the credit rollup rides ONE exchange;
+    the final per-source aggregate shuffles a sessions-count-sized table to
+    at most |event_type| rows. Determinism: (ts, event_id) is a total order
+    (event_id unique), so min_by/max_by on that struct pick exactly the
+    oracle's first_value/last_value rows; session values sum in exact
+    decimal (order-independent, re-aggregating exactly through the credit
+    union — canonical.money_sum's contract). At 100 TB the same plan holds
+    with user_id as the natural high-cardinality key; the credit union
+    doubles only a sessions-sized SLIM projection (source, touch, sv),
+    never the event payloads."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    per_session = (
+        ev.select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn("new_session", new_s)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.sum("new_session").over(run).cast("bigint").alias("session_idx"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min_by("event_type", F.struct("ts", "event_id")).alias("first_src"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_src"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+    )
+    # both credit rows generate in the SAME narrow stage (explode of a 2-array
+    # — x_knn_graph's mirror trick): a unionByName of two selects would
+    # re-compute the whole session subplan twice
+    credits = per_session.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("first_src").alias("source"),
+                    F.lit("first").alias("touch"),
+                    F.col("sv").alias("sv"),
+                ),
+                F.struct(
+                    F.col("last_src").alias("source"),
+                    F.lit("last").alias("touch"),
+                    F.col("sv").alias("sv"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.*")
+    return credits.groupBy("source").agg(
+        F.sum(F.when(F.col("touch") == "first", 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touch_sessions"),
+        F.sum(F.when(F.col("touch") == "last", 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch_sessions"),
+        F.sum(F.when(F.col("touch") == "first", F.col("sv")))
+        .cast("double")
+        .alias("first_touch_value"),
+        F.sum(F.when(F.col("touch") == "last", F.col("sv")))
+        .cast("double")
+        .alias("last_touch_value"),
+    )

@@ -14,6 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..artifacts import ensure_artifact
 from ..catalog import load
 from ..registry import query
 
@@ -440,4 +441,69 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise("OK")
         .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan_partition_pruned — directory pruning on a persisted partitioned layout
+# ---------------------------------------------------------------------------
+
+_SCAN_PART_PRUNED_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@query("scan_partition_pruned", oracle=_SCAN_PART_PRUNED_ORACLE)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read-side twin of sink_partitioned: scan a PERSISTED Hive-style
+    ``o_orderpriority=...`` layout with a partition-key predicate, so the
+    filter is satisfied by DIRECTORY pruning (PartitionFilters in the scan
+    node) rather than row-group statistics (PushedFilters) — 2 of 5
+    directories are ever listed, and zero data bytes of the other three are
+    read. tests/test_plans.py pins exactly that plan shape: the predicate
+    must appear under PartitionFilters and must NOT fall through to the
+    data-filter path.
+
+    The layout is built once per source dataset via
+    artifacts.ensure_artifact (content-fingerprinted, atomically
+    published), which is the ingest-once half of the pattern: at 100 TB
+    the partitioned table already exists — reading it with partition
+    predicates IS the dominant scan shape, and this query is that path.
+    The oracle recomputes the aggregate from the ORIGINAL parquet, so a
+    hash-pass additionally proves the partitioned round trip lost nothing
+    (keys, doubles, and the partition values themselves, which Spark
+    re-reads from directory names, not file contents)."""
+
+    def build(tmp: str) -> None:
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .repartition("o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(tmp)
+        )
+
+    loc, _ = ensure_artifact(
+        spark, sf_dir, "orders_by_priority", ["orders.parquet"], build
+    )
+    return (
+        spark.read.parquet(loc)
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
     )

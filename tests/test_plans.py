@@ -578,3 +578,38 @@ def test_bucket_hash_drill_prunes_via_broadcast(spark, sf_dir):
     for rs in p.split("ReadSchema")[1:]:
         first = rs.splitlines()[0]
         assert "o_comment" not in first and "o_clerk" not in first
+
+
+def test_scan_partition_pruned_uses_directory_pruning(spark, sf_dir):
+    """The partition-key predicate must be satisfied by DIRECTORY pruning
+    (PartitionFilters on the scan node), never by row-group statistics: a
+    PushedFilters entry for o_orderpriority would mean the layout's whole
+    point — zero bytes read from non-matching partitions — was lost. The
+    data-file read schema must carry only the referenced data columns
+    (partition values come from directory names, o_custkey is pruned)."""
+    from reconciliation_hive_data_spark.sources.files import scan_partition_pruned
+
+    p = plan(scan_partition_pruned(spark, sf_dir))
+    part_filters = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "o_orderpriority" in part_filters and "IN (1-URGENT,2-HIGH" in part_filters
+    if "PushedFilters" in p:
+        assert "o_orderpriority" not in p.split("PushedFilters")[1].splitlines()[0]
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "o_orderpriority" not in read_schema
+    assert "o_custkey" not in read_schema
+    assert "o_totalprice" in read_schema
+
+
+def test_attribution_single_session_exchange_and_no_union_recompute(spark, sf_dir):
+    """x_attribution's session windows + per-session aggregate must all ride
+    ONE user_id exchange (hash-partitioning on user_id satisfies the
+    (user_id, session_idx) clustering by the subset rule), the two credit
+    rows must come from a Generate (2-array explode) — a Union here means
+    the session subplan is being computed twice — and the only other
+    exchange is the final per-source rollup."""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import x_attribution
+
+    p = plan(x_attribution(spark, sf_dir))
+    assert p.count(") Exchange") == 2
+    assert ") Generate" in p
+    assert ") Union" not in p
