@@ -1306,28 +1306,10 @@ FROM credits GROUP BY source
 """
 
 
-@query("x_attribution", oracle=_ATTRIBUTION_ORACLE)
-def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First/last-touch attribution over gap-based sessions: win_sessionize's
-    30-minute-silence sessions, each crediting its full value once to the
-    session's FIRST event type and once to its LAST, rolled up per source —
-    the standard marketing-attribution composite (sessionize → windowed
-    first/last → per-source credit rollup) built from proven parts.
-
-    Plan shape: the session windows, the per-session min_by/max_by
-    aggregate, and its value sum all cluster on user_id — hash-partitioning
-    on user_id satisfies the (user_id, session_idx) clustering requirement
-    (subset rule), so everything up to the credit rollup rides ONE exchange;
-    the final per-source aggregate shuffles a sessions-count-sized table to
-    at most |event_type| rows. Determinism: (ts, event_id) is a total order
-    (event_id unique), so min_by/max_by on that struct pick exactly the
-    oracle's first_value/last_value rows; session values sum in exact
-    decimal (order-independent, re-aggregating exactly through the credit
-    union — canonical.money_sum's contract). At 100 TB the same plan holds
-    with user_id as the natural high-cardinality key; the credit union
-    doubles only a sessions-sized SLIM projection (source, touch, sv),
-    never the event payloads."""
-    ev = load(spark, sf_dir, "events")
+def attribution_report(ev: DataFrame) -> DataFrame:
+    """First/last-touch attribution over an events frame — the operator
+    body behind :func:`x_attribution`, factored out so property tests can
+    feed repartitioned/synthetic inputs (the bucket_hash_report pattern)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
@@ -1385,3 +1367,27 @@ def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("last_touch_value"),
     )
+
+
+@query("x_attribution", oracle=_ATTRIBUTION_ORACLE)
+def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution over gap-based sessions: win_sessionize's
+    30-minute-silence sessions, each crediting its full value once to the
+    session's FIRST event type and once to its LAST, rolled up per source —
+    the standard marketing-attribution composite (sessionize → windowed
+    first/last → per-source credit rollup) built from proven parts.
+
+    Plan shape: the session windows, the per-session min_by/max_by
+    aggregate, and its value sum all cluster on user_id — hash-partitioning
+    on user_id satisfies the (user_id, session_idx) clustering requirement
+    (subset rule), so everything up to the credit rollup rides ONE exchange;
+    the final per-source aggregate shuffles a sessions-count-sized table to
+    at most |event_type| rows. Determinism: (ts, event_id) is a total order
+    (event_id unique), so min_by/max_by on that struct pick exactly the
+    oracle's first_value/last_value rows; session values sum in exact
+    decimal (order-independent, re-aggregating exactly through the credit
+    explode — canonical.money_sum's contract). At 100 TB the same plan
+    holds with user_id as the natural high-cardinality key; the credit
+    explode doubles only a sessions-sized SLIM projection (source, touch,
+    sv), never the event payloads."""
+    return attribution_report(load(spark, sf_dir, "events"))
