@@ -94,3 +94,96 @@ def test_scan_partition_pruned_artifact_is_reused(spark, sf_dir):
     finally:
         files_mod.ensure_artifact = orig
     assert calls == [False]
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: attribution_report vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+from collections import defaultdict  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _ref_attribution(rows):
+    """Reference first/last-touch attribution: sessionize each user's
+    (ts, event_id)-sorted events on the >1800 s gap rule, credit each
+    session's value sum once to its first and once to its last type.
+    Values are small ints, so float arithmetic is exact."""
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r[0]].append(r)
+    out = defaultdict(lambda: [0, 0, 0.0, 0.0])  # src -> [fc, lc, fv, lv]
+    for rs in by_user.values():
+        rs.sort(key=lambda r: (r[1], r[2]))
+        sessions, prev = [], None
+        for r in rs:
+            if prev is None or r[1] - prev > 1800:
+                sessions.append([])
+            sessions[-1].append(r)
+            prev = r[1]
+        for s in sessions:
+            sv = float(sum(r[4] for r in s))
+            out[s[0][3]][0] += 1
+            out[s[0][3]][2] += sv
+            out[s[-1][3]][1] += 1
+            out[s[-1][3]][3] += sv
+    return {
+        src: (fc, lc, fv if fc else None, lv if lc else None)
+        for src, (fc, lc, fv, lv) in out.items()
+    }
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.one_of(  # ts seconds: bias draws onto exact gap boundaries
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from([0, 1799, 1800, 1801, 3600, 3601, 5400, 5401]),
+        ),
+        st.sampled_from(["click", "view", "buy"]),  # event_type
+        st.integers(min_value=0, max_value=9),  # value (exact in double)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_EVENTS)
+def test_attribution_matches_python_reference(spark, events):
+    """The operator must agree with the reference on arbitrary event sets,
+    including ties on ts (event_id breaks them), gaps of exactly 1800 s
+    (same session — the rule is strictly-greater), and single-event
+    sessions (first == last)."""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import attribution_report
+
+    rows = [
+        (u, sec, i, etype, float(val))
+        for i, (u, sec, etype, val) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        [(u, sec, eid, etype, val) for u, sec, eid, etype, val in rows],
+        "user_id bigint, sec bigint, event_id bigint, event_type string, value double",
+    ).select(
+        "user_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    got = {
+        r.source: (
+            r.first_touch_sessions,
+            r.last_touch_sessions,
+            r.first_touch_value,
+            r.last_touch_value,
+        )
+        for r in attribution_report(df).collect()
+    }
+    assert got == _ref_attribution(rows)
