@@ -143,9 +143,24 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain = hashed.select(
         F.lag("doc_id").over(w).alias("src"), F.col("doc_id").alias("dst")
     ).filter(F.col("src").isNotNull())
+    labels = connected_components(chain)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes.filter(F.col("cluster_size") >= 2), "lbl")
+        .select("doc_id", F.col("lbl").alias("cluster_id"), "cluster_size")
+    )
+
+
+def connected_components(chain: DataFrame) -> DataFrame:
+    """Min-label connected components over an undirected edge list given as
+    one-directional ``(src, dst)`` pairs — the fixed-point loop behind
+    :func:`x_dedup_clusters`, factored out so property tests can feed
+    arbitrary random topologies (the fixture only exercises chains).
+    Returns ``(doc_id, lbl)`` where ``lbl`` is the component's minimum node
+    id, for every edge-touched node (singletons never enter)."""
     # checkpointed once: every CC round broadcasts the edge list, and
-    # without the checkpoint each round would re-run the md5 scan + lag
-    # window that derives it (duplicate-density-sized, cheap to hold)
+    # without the checkpoint each round would re-run the upstream plan
+    # that derives it (duplicate-density-sized, cheap to hold)
     edges = (
         chain.unionByName(
             chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -197,13 +212,9 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     else:
         raise RuntimeError(
-            f"x_dedup_clusters: no fixed point after {_CC_MAX_ROUNDS} rounds"
+            f"connected_components: no fixed point after {_CC_MAX_ROUNDS} rounds"
         )
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes.filter(F.col("cluster_size") >= 2), "lbl")
-        .select("doc_id", F.col("lbl").alias("cluster_id"), "cluster_size")
-    )
+    return labels
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_dedup_clusters": 5,        # checkpointed edge list across CC rounds
     "recon_crossformat": 6,       # ORC target became a fingerprinted artifact
     "x_knn_graph": 8,             # mirrored half-pair join (cosine folded once)
+    "x_dedup_clusters": 9,        # CC loop factored into connected_components
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -187,3 +187,60 @@ def test_attribution_matches_python_reference(spark, events):
         for r in attribution_report(df).collect()
     }
     assert got == _ref_attribution(rows)
+
+
+# ---------------------------------------------------------------------------
+# random-topology fuzz: connected_components vs a union-find reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_components(edge_list):
+    """Union-find reference: node -> component-min over edge-touched nodes."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+_EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=19),
+        st.integers(min_value=0, max_value=19),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edge_list=_EDGES)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """The min-label fixed-point loop must resolve ARBITRARY random
+    topologies (cycles, stars, self-loops, duplicate edges, dense blobs) to
+    exactly the union-find components — the fixture only ever exercises
+    chains, so this is the coverage that protects the pointer-jump/
+    convergence logic against shape-dependent bugs."""
+    from reconciliation_hive_data_spark.plans.pipeline_ops import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(a, b) for a, b in edge_list], "src bigint, dst bigint"
+    )
+    got = {r.doc_id: r.lbl for r in connected_components(chain).collect()}
+    assert got == _ref_components(edge_list)
