@@ -68,8 +68,19 @@ def events_ts_is_nanos(sf_dir: str) -> bool:
 def _ts_is_nanos_probe(path: str, size: int, mtime_ns: int) -> bool:
     import pyarrow.parquet as pq
 
-    field = pq.read_schema(path).field("ts")
-    return str(field.type) == "timestamp[ns]"
+    # The arrow-level schema is NOT sufficient here: Hive-era INT96
+    # timestamps (what Spark itself writes under the default
+    # outputTimestampType and what most legacy Hive warehouses hold) also
+    # surface as arrow timestamp[ns], but Spark reads INT96 natively — only
+    # a true INT64 TIMESTAMP(NANOS) column needs the nanos-as-long legacy
+    # path. Probe the PARQUET schema's physical + logical type instead.
+    sch = pq.ParquetFile(path).schema
+    col = next(
+        sch.column(i) for i in range(len(sch)) if sch.column(i).name == "ts"
+    )
+    return col.physical_type == "INT64" and "nanoseconds" in str(
+        col.logical_type
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

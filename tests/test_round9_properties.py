@@ -244,3 +244,148 @@ def test_connected_components_matches_union_find(spark, edge_list):
     )
     got = {r.doc_id: r.lbl for r in connected_components(chain).collect()}
     assert got == _ref_components(edge_list)
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: join_asof vs a Python reference on synthetic events
+# ---------------------------------------------------------------------------
+
+
+def _ref_asof(rows):
+    """For each purchase: the latest strictly-earlier non-purchase event of
+    the same user; ties on ts break to the largest event_id; purchases with
+    no prior event are absent. rows: (user, sec, event_id, etype)."""
+    out = {}
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r[0]].append(r)
+    for u, rs in by_user.items():
+        evs = [r for r in rs if r[3] != "purchase"]
+        for p in (r for r in rs if r[3] == "purchase"):
+            prior = [e for e in evs if e[1] < p[1]]
+            if prior:
+                best = max(prior, key=lambda e: (e[1], e[2]))
+                out[p[2]] = (u, best[2], best[3])
+    return out
+
+
+_ASOF_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.one_of(  # ts seconds: force frequent exact-tie collisions
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        st.sampled_from(["purchase", "view", "click"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_ASOF_EVENTS)
+def test_asof_join_matches_python_reference(spark, events):
+    """join_asof's tie semantics are the subtle part — an event at EXACTLY
+    the purchase's ts is outside the frame (strict <), equal-ts prior
+    events resolve to the largest event_id, same-ts purchases don't
+    disturb each other — and the fixture's organic timestamps rarely
+    collide, so this fuzz writes synthetic events (small ts range forces
+    ties) through the real parquet load path and diffs the full result
+    against an independent reference."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark.operators.joins import join_asof
+
+    rows = [(u, sec, i, etype) for i, (u, sec, etype) in enumerate(events)]
+    tmp = tempfile.mkdtemp(prefix="rhds_asof_fuzz_")
+    try:
+        spark.createDataFrame(
+            [(eid, sec, u, etype, 1.0, "{}") for u, sec, eid, etype in rows],
+            "event_id bigint, sec bigint, user_id bigint,"
+            " event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_seconds("sec").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp + "/events.parquet")
+        got = {
+            r.purchase_id: (r.user_id, r.prior_event_id, r.prior_type)
+            for r in join_asof(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == _ref_asof(rows)
+
+
+# ---------------------------------------------------------------------------
+# ts-vintage probe: INT96 vs INT64-nanos vs INT64-micros routing
+# ---------------------------------------------------------------------------
+
+
+def test_ts_vintage_probe_routes_all_three_parquet_vintages(spark, tmp_path):
+    """events.ts has shipped as INT64 µs (current fixtures), INT64
+    TIMESTAMP(NANOS) (earlier fixtures — needs the nanos-as-long legacy
+    read), and in the wild as Hive-era INT96 (what Spark itself writes by
+    default). The probe must route ONLY the true nanos vintage to the
+    legacy path — INT96 also surfaces as arrow timestamp[ns] but Spark
+    reads it natively, and the legacy path breaks on it. Each vintage
+    must load end-to-end with identical values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reconciliation_hive_data_spark.catalog import events_ts_is_nanos, load
+
+    base = [(1, 1_700_000_000, 7, "click", 1.0, "{}")]
+    cols = ["event_id", "sec", "user_id", "event_type", "value", "props"]
+
+    def arrow_write(unit: str, d: str) -> None:
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in base], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000_000 if unit == "ns" else r[1] * 1_000_000
+                     for r in base],
+                    pa.timestamp(unit),
+                ),
+                "user_id": pa.array([r[2] for r in base], pa.int64()),
+                "event_type": pa.array([r[3] for r in base]),
+                "value": pa.array([r[4] for r in base], pa.float64()),
+                "props": pa.array([r[5] for r in base]),
+            }
+        )
+        pq.write_table(tbl, d)
+
+    expect = None
+    for vintage, is_nanos in (("us", False), ("ns", True), ("int96", False)):
+        d = str(tmp_path / vintage)
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        if vintage == "int96":
+            df = spark.createDataFrame(
+                base, "event_id bigint, sec bigint, user_id bigint,"
+                " event_type string, value double, props string"
+            ).select(
+                "event_id",
+                F.timestamp_seconds("sec").alias("ts"),
+                *cols[2:],
+            )
+            df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+        else:
+            arrow_write(vintage, d + "/events.parquet")
+        assert events_ts_is_nanos(d) is is_nanos, vintage
+        got = [
+            (r.event_id, r.ts, r.user_id) for r in load(spark, d, "events").collect()
+        ]
+        if expect is None:
+            expect = got
+        assert got == expect, vintage
