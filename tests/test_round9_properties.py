@@ -305,18 +305,7 @@ def test_asof_join_matches_python_reference(spark, events):
     rows = [(u, sec, i, etype) for i, (u, sec, etype) in enumerate(events)]
     tmp = tempfile.mkdtemp(prefix="rhds_asof_fuzz_")
     try:
-        spark.createDataFrame(
-            [(eid, sec, u, etype, 1.0, "{}") for u, sec, eid, etype in rows],
-            "event_id bigint, sec bigint, user_id bigint,"
-            " event_type string, value double, props string",
-        ).select(
-            "event_id",
-            F.timestamp_seconds("sec").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
-        ).coalesce(1).write.mode("overwrite").parquet(tmp + "/events.parquet")
+        _write_events(spark, tmp, [(u, sec, eid, etype, 1.0) for u, sec, eid, etype in rows])
         got = {
             r.purchase_id: (r.user_id, r.prior_event_id, r.prior_type)
             for r in join_asof(spark, tmp).collect()
@@ -389,3 +378,101 @@ def test_ts_vintage_probe_routes_all_three_parquet_vintages(spark, tmp_path):
         if expect is None:
             expect = got
         assert got == expect, vintage
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: x_gapfill LOCF vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, tmp: str, rows) -> None:
+    """rows: (user, sec, event_id, etype, value) → {tmp}/events.parquet.
+    Spark writes INT96 timestamps here (its default outputTimestampType),
+    so these fuzz inputs also exercise the loader's Hive-era-INT96 routing
+    on every example."""
+    spark.createDataFrame(
+        [(eid, sec, u, etype, val, "{}") for u, sec, eid, etype, val in rows],
+        "event_id bigint, sec bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp + "/events.parquet")
+
+
+def _ref_gapfill(rows):
+    """Reference: hourly purchase-value sums densified onto the full
+    [min, max] hour calendar with LOCF + filled flag."""
+    hours = defaultdict(float)
+    for _, sec, _, etype, val in rows:
+        if etype == "purchase":
+            hours[sec // 3600 * 3600] += val
+    if not hours:
+        return []
+    lo, hi = min(hours), max(hours)
+    out, prev = [], None
+    for h in range(lo, hi + 1, 3600):
+        if h in hours:
+            prev = hours[h]
+            out.append((h, prev, 0))
+        else:
+            out.append((h, prev, 1))
+    return out
+
+
+_GAPFILL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=100) # hour slot (forces gaps)
+        .map(lambda h: h * 3600)
+        .flatmap(
+            lambda base: st.integers(min_value=base, max_value=base + 3599)
+        ),
+        st.sampled_from(["purchase", "view"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_GAPFILL_EVENTS)
+def test_gapfill_matches_python_reference(spark, events):
+    """LOCF gap-fill must match the reference on random sparse series:
+    holes carry the last observation forward with filled=1, measured
+    buckets pass through with filled=0, the calendar spans exactly
+    [min, max] purchase hours, and a series with no purchases at all is
+    empty (null bounds → empty sequence), not a crash."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark.plans.scale_ops import x_gapfill
+
+    rows = [
+        (u, sec, i, etype, float(val))
+        for i, (u, sec, etype, val) in enumerate(events)
+    ]
+    tmp = tempfile.mkdtemp(prefix="rhds_gapfill_fuzz_")
+    try:
+        _write_events(spark, tmp, rows)
+        got = [
+            (r.b, r.sum_value, r.filled)
+            for r in x_gapfill(spark, tmp)
+            .select(
+                F.col("bucket").cast("long").alias("b"), "sum_value", "filled"
+            )
+            .orderBy("b")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == _ref_gapfill(rows)
