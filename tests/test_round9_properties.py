@@ -476,3 +476,72 @@ def test_gapfill_matches_python_reference(spark, events):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == _ref_gapfill(rows)
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: x_chunk_docs boundary rule vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_chunks(doc_id, text):
+    import hashlib
+
+    toks = text.split(" ")
+    n = len(toks)
+    starts = [s for s in range(0, n, 48) if s == 0 or s < n - 16]
+    return [
+        (
+            doc_id,
+            idx,
+            s,
+            min(64, n - s),
+            hashlib.md5(" ".join(toks[s : s + 64]).encode()).hexdigest(),
+        )
+        for idx, s in enumerate(starts)
+    ]
+
+
+_DOC_LENS = st.one_of(
+    st.integers(min_value=0, max_value=200),
+    # exact stride/window/trailing-rule boundaries
+    st.sampled_from([47, 48, 49, 63, 64, 65, 79, 80, 81, 111, 112, 113, 129]),
+)
+
+_DOCS = st.lists(_DOC_LENS, min_size=1, max_size=8)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lens=_DOCS)
+def test_chunk_docs_matches_python_reference(spark, lens):
+    """The chunking rule's subtle part is the trailing-window filter
+    (drop a last window that adds < stride-overlap new tokens, EXCEPT the
+    s == 0 window which always survives): fuzz documents with token counts
+    pinned to the exact boundaries and diff every emitted chunk — index,
+    start, token count, md5 — against an independent reference. Empty
+    documents (zero tokens → [''] after split) must chunk, not vanish."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_chunk_docs
+
+    docs = [
+        (i, " ".join(f"w{j % 7}" for j in range(ln)), "en", "src0", ln)
+        for i, ln in enumerate(lens)
+    ]
+    tmp = tempfile.mkdtemp(prefix="rhds_chunk_fuzz_")
+    try:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp + "/documents.parquet")
+        got = sorted(
+            (r.doc_id, r.chunk_idx, r.chunk_start, r.n_tokens, r.chunk_md5)
+            for r in x_chunk_docs(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    expect = sorted(c for d, t, _, _, _ in docs for c in _ref_chunks(d, t))
+    assert got == expect
