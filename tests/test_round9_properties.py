@@ -545,3 +545,76 @@ def test_chunk_docs_matches_python_reference(spark, lens):
         shutil.rmtree(tmp, ignore_errors=True)
     expect = sorted(c for d, t, _, _, _ in docs for c in _ref_chunks(d, t))
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: x_pack_sequences cumsum binning vs a Python reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_pack(docs):
+    """docs: (doc_id, lang, n_tok). Reference cumsum binning: within each
+    (lang, md5-mod-16 shard) block ordered by doc_id, a doc's sequence is
+    floor(cum_before / 2048); rollup per sequence."""
+    import hashlib
+
+    blocks = defaultdict(list)
+    for doc_id, lang, n_tok in docs:
+        shard = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16) % 16
+        blocks[(lang, shard)].append((doc_id, n_tok))
+    out = {}
+    for (lang, shard), ds in blocks.items():
+        cum = 0
+        for doc_id, n_tok in sorted(ds):
+            seq = cum // 2048
+            k = (lang, shard, seq)
+            n, tot = out.get(k, (0, 0))
+            out[k] = (n + 1, tot + n_tok)
+            cum += n_tok
+    return out
+
+
+_PACK_LENS = st.one_of(
+    st.integers(min_value=0, max_value=300),
+    st.sampled_from([2047, 2048, 2049, 2500]),  # cap boundaries + oversize
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lens=st.lists(_PACK_LENS, min_size=1, max_size=10),
+       langs=st.lists(st.sampled_from(["en", "de"]), min_size=10, max_size=10))
+def test_pack_sequences_matches_python_reference(spark, lens, langs):
+    """The packing rule — a doc starts a new sequence exactly when the
+    running total BEFORE it crossed the next 2048 boundary — must match
+    the reference, including docs bigger than the cap (they own their
+    bin; later bins skip indices) and zero-token docs (split('') yields
+    one empty token, n_tok == 1, same on both sides)."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark.plans.scale_ops import x_pack_sequences
+
+    docs = [
+        (i, " ".join(f"w{j % 5}" for j in range(ln)), langs[i % len(langs)], "src0", ln)
+        for i, ln in enumerate(lens)
+    ]
+    tmp = tempfile.mkdtemp(prefix="rhds_pack_fuzz_")
+    try:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp + "/documents.parquet")
+        got = {
+            (r.lang, r.shard_id, r.seq_id): (r.n_docs, r.seq_tokens)
+            for r in x_pack_sequences(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # the reference counts text tokens the same way size(split(text,' ')) does
+    expect = _ref_pack(
+        (doc_id, lang, len(text.split(" "))) for doc_id, text, lang, _, _ in docs
+    )
+    assert got == expect
