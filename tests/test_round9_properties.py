@@ -618,3 +618,80 @@ def test_pack_sequences_matches_python_reference(spark, lens, langs):
         (doc_id, lang, len(text.split(" "))) for doc_id, text, lang, _, _ in docs
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: x_zorder Morton interleave + ntile split vs reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_zorder(rows):
+    """rows: (user, sec, event_id). Morton-interleave (user%256, hour%256),
+    z-sort with event_id tiebreak, SQL-ntile into 16 files, per-file bbox."""
+    recs = []
+    for u, sec, eid in rows:
+        ux, ty = u % 256, (sec // 3600) % 256
+        z = 0
+        for i in range(8):
+            z |= ((ux >> i) & 1) << (2 * i)
+            z |= ((ty >> i) & 1) << (2 * i + 1)
+        recs.append((z, eid, ux, ty))
+    recs.sort()
+    n = len(recs)
+    base, extra = divmod(n, 16)
+    out, pos = {}, 0
+    for f in range(1, 17):
+        size = base + (1 if f <= extra else 0)
+        chunk = recs[pos : pos + size]
+        pos += size
+        if not chunk:
+            continue
+        us = [r[2] for r in chunk]
+        ts = [r[3] for r in chunk]
+        out[f] = (
+            len(chunk),
+            min(us),
+            max(us),
+            min(ts),
+            max(ts),
+            (max(us) - min(us) + 1) * (max(ts) - min(ts) + 1),
+        )
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),      # user (wraps % 256)
+            st.integers(min_value=0, max_value=2_000_000) # sec (hour wraps % 256)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_matches_python_reference(spark, events):
+    """Bit interleave, z-sort tiebreak, and the SQL ntile remainder rule
+    (first n%16 files get the extra row; < 16 rows → files 1..n with one
+    row each) must all match the reference — including wrapped bucket
+    values (user > 255, hour > 255)."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark.plans.scale_ops import x_zorder
+
+    rows = [(u, sec, i, "view", 1.0) for i, (u, sec) in enumerate(events)]
+    tmp = tempfile.mkdtemp(prefix="rhds_zorder_fuzz_")
+    try:
+        _write_events(spark, tmp, rows)
+        got = {
+            r.file_id: (r.n_rows, r.min_u, r.max_u, r.min_t, r.max_t, r.bbox_area)
+            for r in x_zorder(spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert got == _ref_zorder([(u, sec, eid) for u, sec, eid, _, _ in rows])
