@@ -546,28 +546,16 @@ def _bh_digest(words: DataFrame, tag: str) -> DataFrame:
     )
 
 
-def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
-    """Two-tier Merkle reconciliation of ``src`` vs ``tgt`` on the orders
-    schema: compare the ``_BH_BUCKETS`` per-bucket digests first, then
-    drill key-level hashes ONLY inside buckets whose digests disagree.
-    Returns one row per differing bucket with both sides' counts, digest
-    words, and the number of differing keys inside it; identical tables
-    produce zero rows."""
-    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
-    same = (
-        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
-        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
-        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
-    )
-    bad = sd.join(td, "bucket", "full_outer").filter(~same)
-
-    # Drill tier: broadcast the (≤ _BH_BUCKETS-row, damage-sized) bad-bucket
-    # list so each side is pruned BEFORE the per-key exchange — at 100 TB the
-    # key-level shuffle touches only the damaged buckets' rows. The prune
-    # joins on the CHEAP key-only bucket, then re-derives the row hash for
-    # survivors alone, so tier-2 CPU (not just shuffle) is bounded by the
-    # damage, not the table. Per-key sums fold BOTH hash words so the drill
-    # resolves at the same 64-bit strength as the digest tier.
+def _bh_key_diff(src: DataFrame, tgt: DataFrame, bad: DataFrame) -> DataFrame:
+    """Drill tier shared by recon_bucket_hash / recon_bucket_drill:
+    broadcast the (≤ _BH_BUCKETS-row, damage-sized) bad-bucket list so each
+    side is pruned BEFORE the per-key exchange — at 100 TB the key-level
+    shuffle touches only the damaged buckets' rows. The prune joins on the
+    CHEAP key-only bucket, then re-derives the row hash for survivors
+    alone, so tier-2 CPU (not just shuffle) is bounded by the damage, not
+    the table. Per-key sums fold BOTH hash words so the drill resolves at
+    the same 64-bit strength as the digest tier. Returns one row per
+    differing (bucket, k) with both sides' copy counts and word sums."""
     bad_buckets = F.broadcast(bad.select("bucket"))
 
     def keyed(side: DataFrame, tag: str) -> DataFrame:
@@ -599,7 +587,7 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
             )
         )
 
-    key_diff = (
+    return (
         keyed(src, "s")
         .join(keyed(tgt, "t"), ["bucket", "k"], "full_outer")
         .filter(
@@ -610,6 +598,23 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Two-tier Merkle reconciliation of ``src`` vs ``tgt`` on the orders
+    schema: compare the ``_BH_BUCKETS`` per-bucket digests first, then
+    drill key-level hashes ONLY inside buckets whose digests disagree.
+    Returns one row per differing bucket with both sides' counts, digest
+    words, and the number of differing keys inside it; identical tables
+    produce zero rows."""
+    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
+        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
+    )
+    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+    key_diff = _bh_key_diff(src, tgt, bad)
     bad_keys = key_diff.groupBy("bucket").agg(F.count("*").alias("n_bad_keys"))
 
     zero = F.lit(0).cast("bigint")
@@ -641,7 +646,11 @@ _BH_DIGEST_SQL = """
   FROM {words} GROUP BY bucket
 """.format
 
-_BUCKET_HASH_ORACLE = ORDERS_TGT_CTE + f""",
+# Shared CTE chain (through the per-key sk/tk tables) for the two
+# bucket-recon oracles. recon_bucket_hash's oracle text concatenates to the
+# EXACT pre-split string (byte-for-byte — oracle-snapshot stability, the
+# _CHUNK_CTES precedent).
+_BH_ORACLE_CTES = ORDERS_TGT_CTE + f""",
 sw AS ({_BH_WORDS_SQL(table='orders', h=canonical_row_hash_sql(_ORDER_HASH_COLS), nb=_BH_BUCKETS)}),
 tw AS ({_BH_WORDS_SQL(table='orders_tgt', h=canonical_row_hash_sql(_ORDER_HASH_COLS), nb=_BH_BUCKETS)}),
 sd AS ({_BH_DIGEST_SQL(words='sw')}),
@@ -667,7 +676,9 @@ tk AS (
          CAST(SUM(CAST(w1 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw1,
          CAST(SUM(CAST(w2 AS DECIMAL(38,0))) % 4294967296 AS BIGINT) AS kw2
   FROM tw WHERE bucket IN (SELECT bucket FROM bad) GROUP BY bucket, k
-),
+)"""
+
+_BUCKET_HASH_ORACLE = _BH_ORACLE_CTES + """,
 kc AS (
   SELECT COALESCE(sk.bucket, tk.bucket) AS bucket, COUNT(*) AS n_bad_keys
   FROM sk FULL OUTER JOIN tk ON sk.bucket = tk.bucket AND sk.k = tk.k
@@ -705,3 +716,67 @@ def recon_bucket_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key word sum)."""
     src = load(spark, sf_dir, "orders")
     return bucket_hash_report(src, orders_target(src))
+
+
+# ---------------------------------------------------------------------------
+# recon_bucket_drill — key-level fault listing inside flagged buckets
+# ---------------------------------------------------------------------------
+
+_BUCKET_DRILL_ORACLE = _BH_ORACLE_CTES + """
+SELECT CAST(COALESCE(sk.bucket, tk.bucket) AS BIGINT) AS bucket,
+       CAST(COALESCE(sk.k, tk.k) AS BIGINT) AS o_orderkey,
+       CAST(COALESCE(sk.c, 0) AS BIGINT) AS src_copies,
+       CAST(COALESCE(tk.c, 0) AS BIGINT) AS tgt_copies,
+       CASE WHEN sk.c IS NULL THEN 'missing_in_source'
+            WHEN tk.c IS NULL THEN 'missing_in_target'
+            WHEN sk.c <> tk.c THEN 'copy_count'
+            ELSE 'drift' END AS fault
+FROM sk FULL OUTER JOIN tk ON sk.bucket = tk.bucket AND sk.k = tk.k
+WHERE sk.c IS DISTINCT FROM tk.c OR sk.kw1 IS DISTINCT FROM tk.kw1
+   OR sk.kw2 IS DISTINCT FROM tk.kw2
+"""
+
+
+@query("recon_bucket_drill", oracle=_BUCKET_DRILL_ORACLE)
+def recon_bucket_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drill half of the Merkle hierarchy recon_bucket_hash opens
+    (SURVEY §7.6.1): where the digest tier reports WHICH buckets disagree
+    and how many keys inside each, this lists the actual per-key faults —
+    one row per differing (bucket, key) with both sides' copy counts and a
+    fault class: ``missing_in_source`` / ``missing_in_target`` (key on one
+    side only), ``copy_count`` (both sides, different multiplicities — the
+    duplicate-injection signature), ``drift`` (same multiplicity, hash
+    words differ — a value change). This is the actionable remediation
+    list a 100 TB reconciliation run hands to the fix-up job.
+
+    Scale shape is inherited from _bh_key_diff: the bad-bucket list
+    (≤ _BH_BUCKETS rows, damage-sized in practice) broadcasts, both sides
+    prune BEFORE the per-key exchange, and the expensive row-hash
+    derivation runs over flagged-bucket rows only — output and shuffle are
+    bounded by the damage, never the table. The fault classification is a
+    narrow projection over the drill join's result. Same standard faulty
+    pair as recon_bucket_hash, so the two reports cross-check:
+    n_bad_keys there == rows per bucket here (pinned in
+    tests/test_round9_properties.py)."""
+    src = load(spark, sf_dir, "orders")
+    tgt = orders_target(src)
+    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
+        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
+    )
+    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+    kd = _bh_key_diff(src, tgt, bad)
+    zero = F.lit(0).cast("bigint")
+    return kd.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("k").alias("o_orderkey"),
+        F.coalesce("s_c", zero).alias("src_copies"),
+        F.coalesce("t_c", zero).alias("tgt_copies"),
+        F.when(F.col("s_c").isNull(), "missing_in_source")
+        .when(F.col("t_c").isNull(), "missing_in_target")
+        .when(F.col("s_c") != F.col("t_c"), "copy_count")
+        .otherwise("drift")
+        .alias("fault"),
+    )

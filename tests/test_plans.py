@@ -613,3 +613,17 @@ def test_attribution_single_session_exchange_and_no_union_recompute(spark, sf_di
     assert p.count(") Exchange") == 2
     assert ") Generate" in p
     assert ") Union" not in p
+
+
+def test_bucket_drill_prunes_via_broadcast(spark, sf_dir):
+    """recon_bucket_drill inherits the drill shape: both key-level inputs
+    broadcast-join the damage-sized bad-bucket list before any per-key
+    exchange, and the scans stay pruned to the six hashed columns."""
+    from reconciliation_hive_data_spark.plans.recon_scale import recon_bucket_drill
+
+    p = plan(recon_bucket_drill(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+    for rs in p.split("ReadSchema")[1:]:
+        first = rs.splitlines()[0]
+        assert "o_comment" not in first and "o_clerk" not in first

@@ -695,3 +695,36 @@ def test_zorder_matches_python_reference(spark, events):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert got == _ref_zorder([(u, sec, eid) for u, sec, eid, _, _ in rows])
+
+
+# ---------------------------------------------------------------------------
+# cross-tier consistency: recon_bucket_drill rows vs recon_bucket_hash counts
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_drill_agrees_with_bucket_hash_counts(spark, sf_dir):
+    """The two Merkle tiers must tell one story on the standard faulty
+    pair: the digest report's n_bad_keys per bucket equals the drill's
+    row count per bucket, every drilled bucket is a flagged bucket, and
+    the drill's fault classes account for the injected fault families
+    (drops → missing_in_target, duplicates → copy_count, drifts/nulls →
+    drift; missing_in_source cannot occur — the target never invents
+    keys)."""
+    from reconciliation_hive_data_spark.plans.recon_scale import (
+        recon_bucket_drill,
+        recon_bucket_hash,
+    )
+
+    report = {r.bucket: r.n_bad_keys for r in recon_bucket_hash(spark, sf_dir).collect()}
+    drill = recon_bucket_drill(spark, sf_dir).collect()
+    per_bucket = defaultdict(int)
+    for r in drill:
+        per_bucket[r.bucket] += 1
+        assert r.fault in {"missing_in_target", "copy_count", "drift"}, r
+        if r.fault == "missing_in_target":
+            assert r.src_copies == 1 and r.tgt_copies == 0
+        elif r.fault == "copy_count":
+            assert r.src_copies != r.tgt_copies
+        else:
+            assert r.src_copies == r.tgt_copies
+    assert dict(per_bucket) == {b: n for b, n in report.items() if n > 0}
