@@ -799,8 +799,14 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev = F.lag("ts").over(w)
+    # µs-exact gap, matching the oracle's `ts - lag(ts) > INTERVAL 30 MINUTE`
+    # on ALL inputs: cast('long') truncates to whole seconds, so a gap of
+    # 1800.5 s could flip sessions vs the oracle when the fractional parts
+    # align (fixture ts carries µs precision; caught by the r10 fuzz)
     new_s = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
     ).otherwise(0)
     return (
         ev.select("user_id", "ts", "event_id", new_s.alias("new_session"))
@@ -1324,8 +1330,12 @@ def attribution_report(ev: DataFrame) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)
+    # µs-exact gap — same boundary semantics as win_sessionize and both
+    # oracles' `> INTERVAL 30 MINUTE` (see the note there)
     new_s = F.when(
-        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
     ).otherwise(0)
     per_session = (
         ev.select("user_id", "ts", "event_id", "event_type", "value")

@@ -76,10 +76,18 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "join_range": 5,              # stats-sized grid replaced the fixed 1-hour grid
     "x_text_repetition": 5,       # bound token column + sorted-run top count
     "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
-    "x_dedup_clusters": 5,        # checkpointed edge list across CC rounds
+    # checkpointed edge list across CC rounds (r5); CC loop factored into
+    # connected_components (r9) — single entry at the max round, since the
+    # fronting logic keys off the most recent rewrite
+    "x_dedup_clusters": 9,
     "recon_crossformat": 6,       # ORC target became a fingerprinted artifact
     "x_knn_graph": 8,             # mirrored half-pair join (cosine folded once)
-    "x_dedup_clusters": 9,        # CC loop factored into connected_components
+    # µs-exact session-gap comparison replaced the whole-second cast('long')
+    # truncation (ADVICE r9): boundary gaps in (1800 s, 1801 s) could flip
+    # sessions vs the oracles' `> INTERVAL 30 MINUTE`; fixture-identical on
+    # all three sf dirs (verified r10) but fronted anyway per the rewrite rule
+    "win_sessionize": 10,
+    "x_attribution": 10,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

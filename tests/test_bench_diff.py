@@ -68,6 +68,7 @@ def test_persistent_failure_reported_but_not_gated(tmp_path):
 def test_totals_exclude_failure_sentinels(tmp_path):
     # -1.0 sentinels must not deflate the totals line
     rc, out = _run(tmp_path, {"q": 2.0, "r": -1.0}, {"q": 2.0, "r": -1.0})
+    assert rc == 0
     assert "totals 2.0s -> 2.0s" in out
 
 

@@ -44,12 +44,17 @@ def main() -> int:
 
         # getOrCreate() would silently return an already-built (tuned)
         # session if one exists in this process, defeating the whole point
-        # of --plain; stop it first so the bare builder really builds bare
-        active = SparkSession.getActiveSession()
-        if active is not None:
-            print("--plain: stopping pre-existing SparkSession "
-                  "(would not have been plain)", flush=True)
-            active.stop()
+        # of --plain; stop it first so the bare builder really builds bare.
+        # A session built on another thread is invisible to
+        # getActiveSession() but still served by getOrCreate() through the
+        # default session, so check both.
+        for stale in (SparkSession.getActiveSession(),
+                      SparkSession.getDefaultSession()):
+            if stale is not None:
+                print("--plain: stopping pre-existing SparkSession "
+                      "(would not have been plain)", flush=True)
+                stale.stop()
+                break
         spark = SparkSession.builder.master("local[8]").getOrCreate()
         spark.sparkContext.setLogLevel("ERROR")
     else:
