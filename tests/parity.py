@@ -18,11 +18,23 @@ from reconciliation_hive_data_spark.catalog import TABLES
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Views for every table present under ``sf_dir``. Driver fixtures are
+    single files; synthetic fuzz dirs hold Spark-written DIRECTORIES of
+    part files (and only the tables the fuzz wrote) — glob those, skip the
+    absent ones so a partial synthetic dir still serves the oracles that
+    only touch what it contains."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            src = f"read_parquet('{path}/*.parquet')"
+        elif os.path.exists(path):
+            src = f"read_parquet('{path}')"
+        else:
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

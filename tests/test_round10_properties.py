@@ -191,3 +191,180 @@ def test_sessionize_boundary_gap_matches_oracle(spark, tmp_path):
     for u, _, _ in got:
         per_user[u] += 1
     assert per_user[7] == 2 and per_user[8] == 1 and per_user[9] == 2
+
+
+# ---------------------------------------------------------------------------
+# fault-injection differential fuzz: recon_celldiff / recon_snapshot_cdc /
+# recon_agg_drift on synthetic orders through the real load path
+# ---------------------------------------------------------------------------
+#
+# The fault fixture keys on o_orderkey % 1000: 7 → deleted in target,
+# 13 → price +1.0, 34 → priority nulled, 21 → duplicated (orders_target)
+# or re-keyed insert (+10M, _orders_v2). The driver's orders fixture never
+# has NULL prices/priorities on those residues, so the fault rules' null
+# edges (null+1.0 stays null → NOT a diff; nulling an already-null
+# priority → NOT a diff) were unexercised. Each example writes synthetic
+# orders.parquet into a temp sf_dir, runs the registered query UNCHANGED
+# through the real load path, and replays its own DuckDB oracle on the
+# same dir — the driver's exact check, on inputs the driver never
+# generates.
+
+
+def _write_orders(spark, d: str, rows) -> None:
+    """rows: (key, cust, status, price, day, prio) → {d}/orders.parquet.
+    o_orderdate materializes as a whole-second timestamp (day offsets from
+    a fixed epoch); Spark writes INT96 here, exercising the loader's
+    vintage routing on every example."""
+    spark.createDataFrame(
+        [
+            (k, c, s, p, 1_500_000_000 + day * 86_400, prio)
+            for k, c, s, p, day, prio in rows
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, sec bigint, o_orderpriority string",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.timestamp_seconds("sec").alias("o_orderdate"),
+        "o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+
+
+def _oracle_parity(spark, d: str, names) -> None:
+    from reconciliation_hive_data_spark import registry
+
+    try:
+        from .parity import compare
+    except ImportError:  # imported as a top-level module (scripted hunts)
+        from parity import compare
+
+    registry.load_all_modules()
+    problems = []
+    for name in names:
+        spec = registry.get(name)
+        problems += compare(spec.fn(spark, d), spec.oracle, d, name)
+    assert not problems, problems
+
+
+_RECON_QUERIES = ("recon_celldiff", "recon_snapshot_cdc", "recon_agg_drift")
+
+#: every orders-only recon composite (recon_crossformat/api_summary are
+#: artifact-based and covered by test_api_fuzz; order_totals/footer_stats/
+#: partition_complete read other tables)
+_RECON_ALL_ORDERS = _RECON_QUERIES + (
+    "recon_rowcount",
+    "recon_colfp",
+    "recon_keys_missing",
+    "recon_keys_dup",
+    "recon_rowhash",
+    "recon_tolerance",
+    "recon_partition_drill",
+    "recon_schema",
+    "recon_null_profile",
+    "recon_sample_audit",
+    "recon_bucket_hash",
+    "recon_bucket_drill",
+)
+
+
+def test_recon_fault_classes_detected_exactly(spark, tmp_path):
+    """One synthetic table covering every fault class plus the null edges;
+    assert the reports list EXACTLY the injected faults (independent
+    Python expectation), then replay all three DuckDB oracles on the same
+    dir for full parity."""
+    rows = [
+        # (key, cust, status, price, day, prio)
+        (1007, 1, "O", 100.00, 0, "1-URGENT"),  # residue 7 → deleted
+        (2013, 2, "F", 250.50, 1, "3-MEDIUM"),  # price drift detected
+        (3013, 3, "O", None, 2, "3-MEDIUM"),  # null price: drift is a no-op
+        (4034, 4, "P", 300.00, 3, "1-URGENT"),  # priority nulled → detected
+        (5034, 5, "F", 400.00, 4, None),  # already-null priority: no-op
+        (6021, 6, "O", 500.25, 5, "3-MEDIUM"),  # dup (tgt) / insert (v2)
+        (8000, 7, "F", 600.00, 6, "1-URGENT"),  # clean row
+    ]
+    d = str(tmp_path)
+    _write_orders(spark, d, rows)
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+
+    diffs = {
+        (r.o_orderkey, r.col_name)
+        for r in registry.get("recon_celldiff").fn(spark, d).collect()
+    }
+    assert diffs == {(2013, "o_totalprice"), (4034, "o_orderpriority")}
+
+    cdc = {
+        r.orderkey: (r.op, r.changed_cols)
+        for r in registry.get("recon_snapshot_cdc").fn(spark, d).collect()
+    }
+    assert cdc == {
+        1007: ("DELETE", ""),
+        2013: ("UPDATE", "o_totalprice"),
+        4034: ("UPDATE", "o_orderpriority"),
+        10006021: ("INSERT", ""),
+    }  # 3013/5034 null-edge faults are no-ops, 6021's v2 original unchanged
+
+    drift = registry.get("recon_agg_drift").fn(spark, d).collect()
+    # src keeps all 7 rows; target drops 1007, duplicates 6021 → 7 again
+    assert sum(r.n_src for r in drift) == 7 and sum(r.n_tgt for r in drift) == 7
+    # null prices bucket to NULL on both sides and must not crash the PSI
+
+    # full oracle-parity sweep of EVERY orders-only recon composite on the
+    # fault-covering synthetic table — the driver's check on a table shape
+    # (null price/priority on fault residues) its fixtures never produce
+    _oracle_parity(spark, d, _RECON_ALL_ORDERS)
+
+
+_STATUSES = st.sampled_from(["O", "F", "P"])
+_PRIO = st.one_of(st.none(), st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+_PRICE = st.one_of(
+    st.none(),
+    # money-class: ≤2 decimal places (canonical.py: only true ≤6dp values
+    # may round-trip through the celldiff DECIMAL(28,6) serialization)
+    st.integers(min_value=0, max_value=60_000_000).map(lambda c: c / 100.0),
+)
+
+_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # key base (unique)
+        st.sampled_from([0, 7, 13, 21, 34, 999]),  # fault residue
+        st.integers(min_value=1, max_value=9),  # cust
+        _STATUSES,
+        _PRICE,
+        st.integers(min_value=0, max_value=90),  # day
+        _PRIO,
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orders=_ORDERS)
+def test_recon_composites_match_oracle_on_fuzzed_orders(spark, orders):
+    """Random fault mixes, null prices/priorities, and empty fault classes
+    must keep Spark and the DuckDB oracle in exact agreement for all three
+    composites — including examples where a residue class is entirely
+    absent (empty report sections) and where every row is faulty."""
+    import shutil
+    import tempfile
+
+    rows = [
+        (base * 1000 + res, c, s, p, day, prio)
+        for base, res, c, s, p, day, prio in orders
+    ]
+    d = tempfile.mkdtemp(prefix="rhds_recon_fuzz_")
+    try:
+        _write_orders(spark, d, rows)
+        _oracle_parity(spark, d, _RECON_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
