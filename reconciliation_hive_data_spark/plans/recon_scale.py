@@ -384,12 +384,26 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for j in range(rg.num_columns):
                         c = rg.column(j)
                         if c.path_in_schema in want:
+                            # an all-null row group has statistics but NO
+                            # min/max (and a stats-less footer has neither):
+                            # emit None — the table rollup's min/max skip
+                            # nulls, and a column null in EVERY row group
+                            # rolls up to null, matching the scan side's
+                            # null min/max. float(st.min) here crashed on
+                            # exactly that shape (caught by the r10 fuzz).
                             st = c.statistics
+                            has_mm = st is not None and st.has_min_max
                             rows["col_name"].append(c.path_in_schema)
                             rows["rg_rows"].append(rg.num_rows)
-                            rows["rg_nulls"].append(st.null_count)
-                            rows["rg_min"].append(float(st.min))
-                            rows["rg_max"].append(float(st.max))
+                            rows["rg_nulls"].append(
+                                st.null_count if st is not None else None
+                            )
+                            rows["rg_min"].append(
+                                float(st.min) if has_mm else None
+                            )
+                            rows["rg_max"].append(
+                                float(st.max) if has_mm else None
+                            )
             yield pd.DataFrame(rows)
 
     footer = fdf.mapInPandas(
@@ -413,11 +427,14 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(c).alias("col_name"), "*")
         scan = s if scan is None else scan.unionByName(s)
     j = footer.join(F.broadcast(scan), "col_name")
+    # null-safe: an all-null column is CONSISTENT when both sides agree it
+    # has no min/max (footer null-rollup == scan null), while a stats-less
+    # footer (nulls unknown) correctly reads INCONSISTENT, not null
     consistent = (
-        (F.col("footer_rows") == F.col("scan_rows"))
-        & (F.col("footer_nulls") == F.col("scan_nulls"))
-        & (F.col("footer_min") == F.col("scan_min"))
-        & (F.col("footer_max") == F.col("scan_max"))
+        F.col("footer_rows").eqNullSafe(F.col("scan_rows"))
+        & F.col("footer_nulls").eqNullSafe(F.col("scan_nulls"))
+        & F.col("footer_min").eqNullSafe(F.col("scan_min"))
+        & F.col("footer_max").eqNullSafe(F.col("scan_max"))
     )
     return j.select(
         "col_name",

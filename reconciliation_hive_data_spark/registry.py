@@ -88,6 +88,10 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # all three sf dirs (verified r10) but fronted anyway per the rewrite rule
     "win_sessionize": 10,
     "x_attribution": 10,
+    # all-null row groups carry no footer min/max: the reader crashed on
+    # float(None); now emits null (rolls up to the scan side's null) and
+    # the consistency compare is null-safe — caught by the r10 fuzz
+    "recon_footer_stats": 10,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

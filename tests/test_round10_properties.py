@@ -344,6 +344,164 @@ _ORDERS = st.lists(
 )
 
 
+def _write_lineitem(spark, d: str, rows) -> None:
+    """rows: (l_orderkey, extprice, discount, tax, quantity) →
+    {d}/lineitem.parquet. Money-class values only (≤2dp; the 3-factor
+    gross product is then ≤6dp — exact in the DECIMAL(18,6) route)."""
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_extendedprice double, l_discount double,"
+        " l_tax double, l_quantity double",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
+
+
+_LINEITEMS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),  # l_orderkey — overlaps AND
+        # exceeds the orders key range, so orphan lineitems (null header →
+        # VALUE_DIFF via the CASE fall-through) and lineitem-less orders
+        # (MISSING_IN_LINEITEM) both occur
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=1_000_00).map(lambda c: c / 100.0),
+        ),
+        st.sampled_from([0.0, 0.01, 0.05, 0.1]),  # discount, 2dp
+        st.sampled_from([0.0, 0.02, 0.08]),  # tax, 2dp
+        st.one_of(st.none(), st.integers(min_value=1, max_value=50).map(float)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_HEADER_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # o_orderkey (unique)
+        _PRICE,  # header total — rarely equals the line sum, so VALUE_DIFF,
+        # boundary |diff| ≤ 0.01 MATCH, and null-header rows all occur
+    ),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(headers=_HEADER_ORDERS, lines=_LINEITEMS)
+def test_order_totals_matches_oracle_on_fuzzed_tables(spark, headers, lines):
+    """recon_order_totals (the flagship) vs its oracle on random
+    header↔line mixes: lineitem-less orders, orphan lineitems (null
+    header price), null extendedprice/quantity, and diffs straddling the
+    0.01 tolerance boundary."""
+    import shutil
+    import tempfile
+
+    rows = [
+        (k, 0, "O", p, 0, "1-URGENT") for k, p in headers
+    ]  # header fixture reuses the orders writer; only key+price matter
+    d = tempfile.mkdtemp(prefix="rhds_ot_fuzz_")
+    try:
+        _write_orders(spark, d, rows)
+        _write_lineitem(spark, d, lines)
+        _oracle_parity(spark, d, ("recon_order_totals",))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_footer_stats_all_null_column_consistent(spark, tmp_path):
+    """A row group whose column is entirely null has footer statistics but
+    NO min/max; the footer reader used to crash on float(None) there. It
+    must instead roll the column up to null min/max — agreeing with the
+    scan side — and report it CONSISTENT (null-safe compare), with the
+    null count still exact. Oracle replayed on the same dir."""
+    d = str(tmp_path)
+    _write_lineitem(
+        spark,
+        d,
+        [(1, 100.0, 0.0, 0.0, None), (2, 200.25, 0.05, 0.02, None)],
+    )
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    rows = {
+        r.col_name: r for r in registry.get("recon_footer_stats").fn(spark, d).collect()
+    }
+    q = rows["l_quantity"]
+    assert q.consistent and q.footer_nulls == 2 and q.footer_min is None
+    p = rows["l_extendedprice"]
+    assert p.consistent and p.footer_nulls == 0 and p.footer_min == 100.0
+    _oracle_parity(spark, d, ("recon_footer_stats",))
+
+
+def _write_events_us(spark, d: str, rows) -> None:
+    """rows: (user_id, ts_us, event_id, event_type, value) →
+    {d}/events.parquet (µs-precision timestamps)."""
+    spark.createDataFrame(
+        [(eid, ts_us, u, etype, val, "{}") for u, ts_us, eid, etype, val in rows],
+        "event_id bigint, ts_us bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+
+
+_EVENT_TS_US = st.one_of(
+    # draws biased onto exact hour boundaries and their µs neighbours, so
+    # the calendar's hour-truncation edges are exercised
+    st.integers(min_value=0, max_value=20).map(lambda h: h * 3_600_000_000),
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.sampled_from([1, 999_999, 1_800_000_000, 3_599_999_999]),
+    ).map(lambda t: t[0] * 3_600_000_000 + t[1]),
+)
+
+_CAL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        _EVENT_TS_US,
+        st.sampled_from(["click", "view"]),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,  # bounds need ≥1 event; the hourly calendar spans min→max
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_CAL_EVENTS)
+def test_partition_complete_matches_oracle_on_fuzzed_events(spark, events):
+    """recon_partition_complete vs its oracle on random sparse event
+    streams: single-event calendars, MISSING hours between sparse
+    clusters, counts straddling the SPARSE threshold (n < 5), and events
+    exactly on / 1 µs around hour boundaries."""
+    import shutil
+    import tempfile
+
+    rows = [
+        (u, ts_us, i, etype, float(val))
+        for i, (u, ts_us, etype, val) in enumerate(events)
+    ]
+    d = tempfile.mkdtemp(prefix="rhds_pc_fuzz_")
+    try:
+        _write_events_us(spark, d, rows)
+        _oracle_parity(spark, d, ("recon_partition_complete",))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @settings(
     max_examples=3,
     deadline=None,
