@@ -46,10 +46,11 @@ def main() -> int:
         # session if one exists in this process, defeating the whole point
         # of --plain; stop it first so the bare builder really builds bare.
         # A session built on another thread is invisible to
-        # getActiveSession() but still served by getOrCreate() through the
-        # default session, so check both.
+        # getActiveSession() (thread-local) but still served by
+        # getOrCreate() through the process-wide instantiated session
+        # (PySpark's default-session equivalent), so check both.
         for stale in (SparkSession.getActiveSession(),
-                      SparkSession.getDefaultSession()):
+                      SparkSession._instantiatedSession):
             if stale is not None:
                 print("--plain: stopping pre-existing SparkSession "
                       "(would not have been plain)", flush=True)
