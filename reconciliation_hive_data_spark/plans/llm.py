@@ -112,8 +112,16 @@ def tokens(df: DataFrame, distinct: bool) -> DataFrame:
 
 def shingles3(df: DataFrame) -> DataFrame:
     """Distinct 3-word shingles per doc, built array-side (zip of the token
-    array with its own 1- and 2-shifts) — a narrow map, no window shuffle."""
-    return df.select(
+    array with its own 1- and 2-shifts) — a narrow map, no window shuffle.
+
+    Docs with fewer than 3 tokens have no 3-shingle and are filtered out
+    BEFORE the transform (the same guard _grams8 carries): without it,
+    ``sequence(0, size - 3)`` runs DESCENDING for short docs (Spark's
+    sequence counts down when end < start) and ``slice(…, 0, 3)`` aborts
+    the whole query. Dropping them matches the oracles' positional
+    self-join shingle derivation, which yields no rows for short docs."""
+    toks = F.split("text", " ")
+    return df.filter(F.size(toks) >= 3).select(
         "doc_id",
         F.explode(
             F.array_distinct(

@@ -502,6 +502,109 @@ def test_partition_complete_matches_oracle_on_fuzzed_events(spark, events):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# documents edge-case sweep: short docs through the text/dedup family
+# ---------------------------------------------------------------------------
+#
+# The driver's documents fixture has no short docs, so the <3-token path
+# of the shingle pipeline was unexercised — and shingles3 crashed on it:
+# sequence(0, size-3) runs DESCENDING when size < 3 (Spark's sequence
+# counts down) and slice(…, 0, 3) aborts the query. The guard now drops
+# short docs before the transform, matching the oracles' positional
+# self-join (which derives no shingles for them).
+
+
+def _write_documents(spark, d: str, docs) -> None:
+    """docs: (doc_id, text, lang, source); n_chars derives from text."""
+    rows = [(i, t, l, s, len(t)) for i, t, l, s in docs]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+
+_EDGE_DOCS = [
+    (0, "", "en", "src0"),  # empty text (zero shingles, one empty "token")
+    (1, "word", "en", "src0"),  # single token
+    (8, "two words", "en", "src0"),  # two tokens — still below shingle width
+    (2, "word word word word word", "en", "src1"),  # one distinct token
+    (3, "the quick brown fox jumps over the lazy dog again and again", "es", "src1"),
+    (4, "the quick brown fox jumps over the lazy dog again and again", "es", "src1"),
+    (5, "the quick brown fox jumps over the lazy cat again and again", "es", "src2"),
+    (6, "spark table join merge scan filter window batch stream row "
+        "column value key order part " * 4, "zh", "src2"),
+    (7, "hello, world. mixed CASE tokens! with punct?", "en", "src3"),
+]
+
+#: every documents-only oracle query (x_dedup_embed & friends need
+#: embeddings; the MLlib twins are rows-only and covered by the fuzz below)
+_DOCS_QUERIES = (
+    "x_chunk_docs", "x_chunk_pack", "x_corpus_clean", "x_corpus_stats",
+    "x_dedup_clusters", "x_dedup_containment", "x_dedup_editdist",
+    "x_dedup_exact", "x_dedup_incremental", "x_dedup_near", "x_dedup_ngram",
+    "x_dedup_simhash", "x_dedup_simhash_banded", "x_dedup_url",
+    "x_doc_outliers", "x_text_fingerprint", "x_text_langid",
+    "x_text_perplexity", "x_text_pii", "x_text_quality",
+    "x_text_repetition", "x_text_tfidf", "x_text_tokcount",
+    "x_text_tokens", "x_token_pmi", "x_vocab_coverage", "x_decontaminate",
+)
+
+
+def test_text_family_matches_oracle_on_edge_documents(spark, tmp_path):
+    """All 27 documents-only oracle queries replayed against DuckDB on a
+    corpus of edge shapes: empty text, 1- and 2-token docs (below shingle
+    width — the crash that motivated this sweep), a doc with one distinct
+    token, an exact-dup pair, a one-token-off near-dup, and
+    punctuation/mixed-case tokens."""
+    d = str(tmp_path)
+    _write_documents(spark, d, _EDGE_DOCS)
+    _oracle_parity(spark, d, _DOCS_QUERIES)
+
+
+_DOC_TEXT = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+_FUZZ_DOCS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # doc_id (unique)
+        _DOC_TEXT,  # 0..12 tokens from a 5-word vocab → dense dup/near-dup
+        # space AND plenty of sub-shingle-width docs
+        st.sampled_from(["en", "es"]),
+        st.sampled_from(["src0", "src1"]),
+    ),
+    min_size=1,
+    max_size=10,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_FUZZ_DOCS)
+def test_shingle_dedup_matches_oracle_on_fuzzed_docs(spark, docs):
+    """The three shingle-based dedup queries vs their oracles on random
+    tiny-vocab corpora: heavy duplicate density, docs straddling the
+    3-token shingle threshold, and empty texts — the band join, Jaccard
+    verify, and signature pipelines must agree with DuckDB exactly."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rhds_docs_fuzz_")
+    try:
+        _write_documents(spark, d, docs)
+        _oracle_parity(
+            spark, d,
+            ("x_dedup_near", "x_dedup_containment", "x_dedup_simhash_banded"),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 @settings(
     max_examples=3,
     deadline=None,
