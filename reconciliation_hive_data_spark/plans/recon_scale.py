@@ -396,7 +396,14 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             rows["col_name"].append(c.path_in_schema)
                             rows["rg_rows"].append(rg.num_rows)
                             rows["rg_nulls"].append(
-                                st.null_count if st is not None else None
+                                st.null_count
+                                if st is not None
+                                # a zero-row group trivially has zero nulls
+                                # even with no statistics struct (empty
+                                # files written by pyarrow land here);
+                                # stats absent on a NON-empty group stays
+                                # None → unknown → inconsistent
+                                else (0 if rg.num_rows == 0 else None)
                             )
                             rows["rg_min"].append(
                                 float(st.min) if has_mm else None

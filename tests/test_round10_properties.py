@@ -437,6 +437,26 @@ def test_footer_stats_all_null_column_consistent(spark, tmp_path):
     _oracle_parity(spark, d, ("recon_footer_stats",))
 
 
+def test_footer_stats_empty_table_consistent(spark, tmp_path):
+    """A zero-row parquet file (pyarrow writes one 0-row row group with no
+    statistics struct) must reconcile CONSISTENT: 0 rows == 0 rows, zero
+    nulls by definition of an empty group, null min/max on both sides.
+    From the round-10 all-empty registry sweep (tools/empty_sweep.py)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    sch = pq.read_schema("/root/testdata/sf0.001/lineitem.parquet")
+    pq.write_table(sch.empty_table(), f"{d}/lineitem.parquet")
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    rows = registry.get("recon_footer_stats").fn(spark, d).collect()
+    assert len(rows) == 2 and all(r.consistent for r in rows)
+    assert all(r.footer_rows == 0 and r.footer_nulls == 0 for r in rows)
+    _oracle_parity(spark, d, ("recon_footer_stats",))
+
+
 def _write_events_us(spark, d: str, rows) -> None:
     """rows: (user_id, ts_us, event_id, event_type, value) →
     {d}/events.parquet (µs-precision timestamps)."""
