@@ -186,7 +186,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sx = F.col("sx")
     sxx = F.col("sxx")
-    var = (sxx - sx * sx / n) / (n - 1)
+    # try_divide: a single-row group has no sample variance — NULL, the
+    # same value DuckDB's x/0→NULL convention gives the oracle; plain `/`
+    # raises DIVIDE_BY_ZERO under ANSI and aborts the whole query
+    var = F.try_divide(sxx - sx * sx / n, n - 1)
     return s.select(
         "l_returnflag",
         "n",
@@ -515,12 +518,20 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
+        # try_divide: degenerate groups (n=1, or a constant column →
+        # zero variance denominator) have no correlation/covariance —
+        # NULL, matching DuckDB's x/0→NULL in the oracle; plain `/`
+        # raises DIVIDE_BY_ZERO under ANSI
         F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+            ),
             6,
         ).alias("corr_qty_price"),
-        F.round((n * sxy - sx * sy) / (n * (n - 1)), 6).alias("cov_qty_price"),
+        F.round(F.try_divide(n * sxy - sx * sy, n * (n - 1)), 6).alias(
+            "cov_qty_price"
+        ),
     )
 
 

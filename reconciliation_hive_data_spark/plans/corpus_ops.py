@@ -211,8 +211,14 @@ def x_embed_quantize_perdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = flat.groupBy("pos").agg(
         F.min("x").alias("mn"), F.max("x").alias("mx")
     )
+    # try_divide: a zero-range dimension (constant column, or a 1-row
+    # corpus) yields NULL, and least() skips nulls on BOTH engines, so the
+    # degenerate code lands on 255 exactly like the oracle's x/0→NULL →
+    # LEAST(NULL, 255); plain `/` raises DIVIDE_BY_ZERO under ANSI
     code = F.least(
-        F.floor((F.col("x") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 256),
+        F.floor(
+            F.try_divide(F.col("x") - F.col("mn"), F.col("mx") - F.col("mn")) * 256
+        ),
         F.lit(255),
     ).cast("int")
     coded = flat.join(F.broadcast(stats), "pos").select(

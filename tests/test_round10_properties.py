@@ -437,6 +437,39 @@ def test_footer_stats_all_null_column_consistent(spark, tmp_path):
     _oracle_parity(spark, d, ("recon_footer_stats",))
 
 
+def test_degenerate_groups_yield_null_stats_not_crash(spark, tmp_path):
+    """n=1 groups have no sample variance/correlation and a zero-range
+    dimension has no quantization grid: all three must yield NULL (the
+    oracles' DuckDB x/0→NULL convention) instead of the ANSI
+    DIVIDE_BY_ZERO abort they raised before try_divide. From the round-10
+    single-row registry sweep (tools/empty_sweep.py onerow)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("lineitem", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"/root/testdata/sf0.001/{t}.parquet").slice(0, 1),
+            f"{d}/{t}.parquet",
+        )
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    (corr_row,) = registry.get("agg_corr").fn(spark, d).collect()
+    assert corr_row.n_rows == 1
+    assert corr_row.corr_qty_price is None and corr_row.cov_qty_price is None
+    (stats_row,) = registry.get("agg_stats").fn(spark, d).collect()
+    assert stats_row.stddev_qty is None and stats_row.var_qty is None
+    assert stats_row.mean_qty is not None  # mean exists at n=1
+    (q_row,) = registry.get("x_embed_quantize_perdim").fn(spark, d).collect()
+    # every dimension's range is zero → every code degenerates to 255 on
+    # both engines (NULL division → least() skips nulls)
+    assert set(q_row.codes.split(",")) == {"255"}
+    _oracle_parity(
+        spark, d, ("agg_corr", "agg_stats", "x_embed_quantize_perdim")
+    )
+
+
 def test_footer_stats_empty_table_consistent(spark, tmp_path):
     """A zero-row parquet file (pyarrow writes one 0-row row group with no
     statistics struct) must reconcile CONSISTENT: 0 rows == 0 rows, zero
