@@ -209,11 +209,19 @@ def x_sim_brp_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").withColumn(
         "vec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    # the probe fetch doubles as the empty guard: no probe row → no
+    # neighbours, returned as an EMPTY frame with the output schema
+    # (MLlib's fit itself raises on an empty dataset — empty_sweep ledger)
+    probe_row = e.filter(F.col("vec_id") == 0).select("vec").head()
+    if probe_row is None:
+        return spark.createDataFrame(
+            [], e.select("vec_id", "label").schema
+        ).withColumn("euclid_dist", F.lit(None).cast("double"))
+    probe = probe_row[0]
     lsh = BucketedRandomProjectionLSH(
         inputCol="vec", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     )
     model = lsh.fit(e)
-    probe = e.filter(F.col("vec_id") == 0).select("vec").head()[0]
     nn = model.approxNearestNeighbors(
         e.filter(F.col("vec_id") != 0), probe, 10, distCol="euclid_dist"
     )

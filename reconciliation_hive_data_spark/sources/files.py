@@ -191,7 +191,12 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_quantity", "l_returnflag"
     )
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    # explicit schema: skips footer-sampling inference AND keeps the
+    # read-back well-defined when the written frame was empty (a
+    # zero-file partitioned dir cannot be inferred — empty_sweep ledger)
+    back = spark.read.schema(li.schema).parquet(out).filter(
+        F.col("l_returnflag") == "R"
+    )
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
@@ -419,7 +424,9 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     inv = (
-        spark.read.parquet(out)
+        # explicit schema: empty-write-safe read-back (see sink_partitioned)
+        spark.read.schema(li.schema)
+        .parquet(out)
         .select("l_returnflag", F.input_file_name().alias("fname"))
         .groupBy("l_returnflag")
         .agg(
@@ -481,11 +488,13 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keys, doubles, and the partition values themselves, which Spark
     re-reads from directory names, not file contents)."""
 
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+
     def build(tmp: str) -> None:
         (
-            load(spark, sf_dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-            .repartition("o_orderpriority")
+            src.repartition("o_orderpriority")
             .write.mode("overwrite")
             .partitionBy("o_orderpriority")
             .parquet(tmp)
@@ -495,7 +504,9 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orders_by_priority", ["orders.parquet"], build
     )
     return (
-        spark.read.parquet(loc)
+        # explicit schema: empty-write-safe read-back (see sink_partitioned)
+        spark.read.schema(src.schema)
+        .parquet(loc)
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("o_orderpriority")
         .agg(

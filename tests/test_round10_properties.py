@@ -470,6 +470,31 @@ def test_degenerate_groups_yield_null_stats_not_crash(spark, tmp_path):
     )
 
 
+def test_partitioned_sink_empty_write_reads_back(spark, tmp_path):
+    """A partitionBy write of an EMPTY frame produces a zero-file layout
+    that schema inference cannot read back (AnalysisException); the sinks
+    now read with the written frame's explicit schema, so an empty load
+    round-trips to an empty report — with oracle parity — instead of
+    aborting. From the round-10 all-empty registry sweep."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    for t in ("lineitem", "orders"):
+        pq.write_table(
+            pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet").empty_table(),
+            f"{d}/{t}.parquet",
+        )
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    for q in ("sink_partitioned", "sink_compact", "scan_partition_pruned"):
+        assert registry.get(q).fn(spark, d).count() == 0, q
+    _oracle_parity(
+        spark, d, ("sink_partitioned", "sink_compact", "scan_partition_pruned")
+    )
+
+
 def test_footer_stats_empty_table_consistent(spark, tmp_path):
     """A zero-row parquet file (pyarrow writes one 0-row row group with no
     statistics struct) must reconcile CONSISTENT: 0 rows == 0 rows, zero

@@ -32,12 +32,9 @@ not operator bugs:
 - scan_binaryfile — the oracle hardcodes the coalesce(1) → exactly-one-
   file assumption; an empty frame writes ZERO data files and the Spark
   side truthfully reports 0.
-- scan_partition_pruned / sink_partitioned / sink_compact — reading back
-  an empty partitioned/compacted layout fails Spark schema inference
-  (AnalysisException). Robustness candidates for a future round
-  (explicit schema on read-back).
-- x_sim_brp_mllib — MLlib BucketedRandomProjectionLSH.fit raises on an
-  empty dataset (upstream limitation; rows-only query).
+Healed in round 10 itself (explicit read-back schema; probe-row empty
+guard): scan_partition_pruned / sink_partitioned / sink_compact /
+x_sim_brp_mllib.
 """
 
 from __future__ import annotations
@@ -62,12 +59,7 @@ KNOWN = {
             "recon_crossformat",
             "scan_binaryfile",
         },
-        "error": {
-            "scan_partition_pruned",
-            "sink_partitioned",
-            "sink_compact",
-            "x_sim_brp_mllib",
-        },
+        "error": set(),
     },
     "onerow": {
         # the 1-row customer's nation/region dim joins match nothing →
