@@ -375,7 +375,7 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows: dict[str, list] = {
                 "col_name": [], "rg_rows": [], "rg_nulls": [],
-                "rg_min": [], "rg_max": [],
+                "rg_min": [], "rg_max": [], "rg_unknown": [],
             }
             for path in pdf["path"]:
                 md = pq.ParquetFile(path).metadata
@@ -392,12 +392,14 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             # null min/max. float(st.min) here crashed on
                             # exactly that shape (caught by the r10 fuzz).
                             st = c.statistics
+                            has_nc = st is not None and st.has_null_count
                             has_mm = st is not None and st.has_min_max
+                            nulls = st.null_count if has_nc else None
                             rows["col_name"].append(c.path_in_schema)
                             rows["rg_rows"].append(rg.num_rows)
                             rows["rg_nulls"].append(
-                                st.null_count
-                                if st is not None
+                                nulls
+                                if has_nc
                                 # a zero-row group trivially has zero nulls
                                 # even with no statistics struct (empty
                                 # files written by pyarrow land here);
@@ -411,17 +413,34 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             rows["rg_max"].append(
                                 float(st.max) if has_mm else None
                             )
+                            # the rollup's SUM/MIN/MAX skip nulls, so a
+                            # stats-less NON-empty group mixed with
+                            # stats-bearing ones would silently drop out
+                            # and could still read CONSISTENT; carry an
+                            # explicit unknown flag instead. Unknown =
+                            # non-empty group with no null count, or with
+                            # values present but no recorded min/max (an
+                            # all-null group with stats is NOT unknown —
+                            # "no min/max" is the known truth there).
+                            rows["rg_unknown"].append(
+                                rg.num_rows > 0
+                                and (
+                                    not has_nc
+                                    or (not has_mm and nulls < rg.num_rows)
+                                )
+                            )
             yield pd.DataFrame(rows)
 
     footer = fdf.mapInPandas(
         read_footers,
         "col_name string, rg_rows bigint, rg_nulls bigint,"
-        " rg_min double, rg_max double",
+        " rg_min double, rg_max double, rg_unknown boolean",
     ).groupBy("col_name").agg(
         F.sum("rg_rows").alias("footer_rows"),
         F.sum("rg_nulls").alias("footer_nulls"),
         F.round(F.min("rg_min"), 6).alias("footer_min"),
         F.round(F.max("rg_max"), 6).alias("footer_max"),
+        F.max("rg_unknown").alias("footer_unknown"),
     )
     li = load(spark, sf_dir, "lineitem")
     scan = None
@@ -435,13 +454,16 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan = s if scan is None else scan.unionByName(s)
     j = footer.join(F.broadcast(scan), "col_name")
     # null-safe: an all-null column is CONSISTENT when both sides agree it
-    # has no min/max (footer null-rollup == scan null), while a stats-less
-    # footer (nulls unknown) correctly reads INCONSISTENT, not null
+    # has no min/max (footer null-rollup == scan null). Unknown stats force
+    # INCONSISTENT via the explicit per-row-group flag: the null-skipping
+    # SUM/MIN/MAX rollups alone would let a stats-less non-empty group hide
+    # behind its stats-bearing neighbours (ADVICE r10).
     consistent = (
         F.col("footer_rows").eqNullSafe(F.col("scan_rows"))
         & F.col("footer_nulls").eqNullSafe(F.col("scan_nulls"))
         & F.col("footer_min").eqNullSafe(F.col("scan_min"))
         & F.col("footer_max").eqNullSafe(F.col("scan_max"))
+        & ~F.col("footer_unknown")
     )
     return j.select(
         "col_name",

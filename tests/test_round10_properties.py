@@ -437,6 +437,65 @@ def test_footer_stats_all_null_column_consistent(spark, tmp_path):
     _oracle_parity(spark, d, ("recon_footer_stats",))
 
 
+def test_footer_stats_statsless_row_group_reads_inconsistent(spark, tmp_path):
+    """A NON-empty row group written without statistics must force the
+    column INCONSISTENT even when the null-skipping rollups happen to
+    agree with the scan (0 actual nulls, min/max inside a stats-bearing
+    neighbour's range) — the shape ADVICE r10 flagged: SUM/MIN/MAX skip
+    the unknown group, so without the explicit per-group unknown flag the
+    column silently read CONSISTENT."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_quantity", pa.float64()),
+        ]
+    )
+
+    def tbl(rows):
+        cols = list(zip(*rows))
+        return pa.table(
+            {f.name: pa.array(cols[i], f.type) for i, f in enumerate(schema)}
+        )
+
+    tdir = f"{d}/lineitem.parquet"
+    import os
+
+    os.makedirs(tdir)
+    # stats-bearing file spans [100, 300]; the stats-less file's values sit
+    # strictly inside that range with zero nulls — the silent-consistent trap
+    pq.write_table(
+        tbl([(1, 100.0, 0.0, 0.0, 1.0), (2, 300.0, 0.0, 0.0, 9.0)]),
+        f"{tdir}/part-0.parquet",
+    )
+    pq.write_table(
+        tbl([(3, 200.0, 0.0, 0.0, 5.0)]),
+        f"{tdir}/part-1.parquet",
+        write_statistics=False,
+    )
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    rows = {
+        r.col_name: r
+        for r in registry.get("recon_footer_stats").fn(spark, d).collect()
+    }
+    for c in ("l_extendedprice", "l_quantity"):
+        r = rows[c]
+        # rollups still agree (footer_nulls sums only the known groups)...
+        assert r.footer_rows == r.scan_rows == 3, c
+        assert r.footer_nulls == r.scan_nulls == 0, c
+        # ...but the unknown group must force the verdict to inconsistent
+        assert not r.consistent, c
+
+
 def test_degenerate_groups_yield_null_stats_not_crash(spark, tmp_path):
     """n=1 groups have no sample variance/correlation and a zero-range
     dimension has no quantization grid: all three must yield NULL (the

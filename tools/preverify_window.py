@@ -49,8 +49,10 @@ def main() -> int:
         # getActiveSession() (thread-local) but still served by
         # getOrCreate() through the process-wide instantiated session
         # (PySpark's default-session equivalent), so check both.
+        # _instantiatedSession is a private attribute; degrade to the
+        # getActiveSession()-only check on PySpark versions without it.
         for stale in (SparkSession.getActiveSession(),
-                      SparkSession._instantiatedSession):
+                      getattr(SparkSession, "_instantiatedSession", None)):
             if stale is not None:
                 print("--plain: stopping pre-existing SparkSession "
                       "(would not have been plain)", flush=True)
