@@ -440,7 +440,10 @@ def recon_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rg_nulls").alias("footer_nulls"),
         F.round(F.min("rg_min"), 6).alias("footer_min"),
         F.round(F.max("rg_max"), 6).alias("footer_max"),
-        F.max("rg_unknown").alias("footer_unknown"),
+        # any-semantics via int max — boolean MIN/MAX ordering is an
+        # engine-dependent corner (ADVICE r11); the cast makes the intent
+        # portable to engines without boolean ordering
+        (F.max(F.col("rg_unknown").cast("int")) == 1).alias("footer_unknown"),
     )
     li = load(spark, sf_dir, "lineitem")
     scan = None

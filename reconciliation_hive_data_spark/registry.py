@@ -88,10 +88,14 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # all three sf dirs (verified r10) but fronted anyway per the rewrite rule
     "win_sessionize": 10,
     "x_attribution": 10,
-    # all-null row groups carry no footer min/max: the reader crashed on
-    # float(None); now emits null (rolls up to the scan side's null) and
-    # the consistency compare is null-safe — caught by the r10 fuzz
-    "recon_footer_stats": 10,
+    # r10: all-null row groups carry no footer min/max — the reader crashed
+    # on float(None); emits null + null-safe compare.  r11: explicit
+    # per-row-group rg_unknown flag forces INCONSISTENT for stats-less
+    # non-empty groups that the null-skipping rollups would silently drop
+    # (ADVICE r10) — a semantic change to the `consistent` verdict, so the
+    # r10 driver row no longer attests the current plan; fronted per the
+    # rewrite rule (win_sessionize precedent above).
+    "recon_footer_stats": 11,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
