@@ -4,8 +4,10 @@ ADVICE r11 item 4: the r10/r11 footer fixes each covered one flagged shape
 (all-null groups, then one stats-less file). This generator owns the whole
 family — per-file AND per-column ``write_statistics``, dictionary pages,
 multi-row-group files via ``row_group_size``, empty files, all-null
-chunks — and sweeps recon_footer_stats plus sink_compact through the real
-load path on those layouts.
+chunks, mixed compression codecs (snappy/zstd/gzip/none — codec vintages
+accumulate over a long-lived table's life) — and sweeps
+recon_footer_stats plus sink_compact through the real load path on those
+layouts.
 
 recon_footer_stats is checked two ways:
 - against an independent Python model of the footer contract (what the
@@ -42,13 +44,16 @@ _ROWS = st.lists(
 )
 
 #: one parquet file: rows, write_statistics (bool or per-column subset),
-#: use_dictionary, row_group_size (None → single group)
+#: use_dictionary, row_group_size (None → single group), codec — a
+#: long-lived table accumulates codec vintages as cluster defaults change,
+#: so the footer check must read mixed-codec dirs like any other
 _FILES = st.lists(
     st.tuples(
         _ROWS,
         st.sampled_from([True, False, ("l_extendedprice",), ("l_quantity",)]),
         st.booleans(),
         st.sampled_from([None, 1, 2, 3]),
+        st.sampled_from(["snappy", "zstd", "gzip", "none"]),
     ),
     min_size=1,
     max_size=3,
@@ -67,7 +72,9 @@ def _write_layout(d: str, files) -> str:
 
     tdir = os.path.join(d, "lineitem.parquet")
     os.makedirs(tdir, exist_ok=True)
-    for i, (rows, stats, use_dict, rg_size) in enumerate(files):
+    for i, spec in enumerate(files):
+        rows, stats, use_dict, rg_size = spec[:4]
+        codec = spec[4] if len(spec) > 4 else "snappy"
         tbl = pa.table(
             {
                 "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
@@ -85,6 +92,7 @@ def _write_layout(d: str, files) -> str:
         kw = {
             "write_statistics": stats if isinstance(stats, bool) else list(stats),
             "use_dictionary": use_dict,
+            "compression": codec,
         }
         if rg_size is not None:
             kw["row_group_size"] = rg_size
@@ -105,7 +113,8 @@ def _expected_footer(files, tdir):
 
     groups = {c: [] for c in _COLS}
     all_vals = {c: [] for c in _COLS}
-    for i, (rows, stats, _ud, _rg) in enumerate(files):
+    for i, spec in enumerate(files):
+        rows, stats = spec[0], spec[1]
         md = pq.ParquetFile(f"{tdir}/part-{i}.parquet").metadata
         vals = {c: _col_values(rows, c) for c in _COLS}
         off = 0
@@ -232,12 +241,13 @@ def test_sink_compact_on_hostile_layout(spark, tmp_path):
             False,
             None,
         ),
-        # 7 rows, dictionary pages, 2-row groups
+        # 7 rows, dictionary pages, 2-row groups, zstd
         (
             [(3 * k + 1, None, 7, "A") for k in range(7)],
             True,
             True,
             2,
+            "zstd",
         ),
         # empty file (one 0-row row group)
         ([], True, False, None),
