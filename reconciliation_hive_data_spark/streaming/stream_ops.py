@@ -297,7 +297,10 @@ def s_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling agg in append mode: a 10-minute watermark gates
     state eviction and late-row handling. Which windows are finalized
     depends on micro-batch boundaries ⇒ rows-only by design; the
-    metamorphic check (late events dropped) lives in tests."""
+    metamorphic checks live in tests/test_round12_properties.py — exact
+    batch-twin equality on the closed-window set for the single-file
+    fixture replay, and a controlled multi-batch stream proving the
+    watermark drops stragglers whose window state was evicted."""
     s = _events_stream(spark, sf_dir)
     late = s.withColumn(
         "ts",

@@ -296,3 +296,121 @@ def test_footer_stats_per_column_statistics_asymmetry(spark, tmp_path):
     # the explicit unknown flag flips the verdict
     assert q.footer_rows == q.scan_rows == 3
     assert q.footer_nulls == q.scan_nulls == 0
+
+
+# ---------------------------------------------------------------------------
+# s_watermark — the metamorphic checks its docstring promises
+# ---------------------------------------------------------------------------
+
+
+def test_s_watermark_equals_batch_twin_on_closed_windows(spark):
+    """Exact batch-twin equality for the rows-only s_watermark on the
+    single-file fixture: with one parquet file the availableNow replay is
+    one micro-batch, so nothing is dropped mid-stream and append mode
+    must emit EXACTLY the hour windows whose end is at or before the
+    final watermark (max shifted event time - 10 min), with counts equal
+    to the batch aggregation's. This pins the whole result, not just the
+    row count the driver's rows-only check sees."""
+    from pyspark.sql import functions as F
+
+    from reconciliation_hive_data_spark.catalog import load
+    from reconciliation_hive_data_spark.streaming.stream_ops import s_watermark
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted((r.win_start, r.n) for r in s_watermark(spark, sf).collect())
+
+    ev = load(spark, sf, "events").withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 500 == 0, F.col("ts") - F.expr("INTERVAL 2 HOURS")
+        ).otherwise(F.col("ts")),
+    )
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    )
+    twin = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(wm))  # 1-row scalar attach
+        .where(F.col("window.end") <= F.col("wm"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    want = sorted((r.win_start, r.n) for r in twin.collect())
+    assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_rows_across_micro_batches(spark, tmp_path):
+    """The late-row drop s_watermark's plan relies on, demonstrated on a
+    controlled two-micro-batch stream built exactly like the operator
+    (file source -> withWatermark 10 min -> 1 h tumbling window -> append
+    to memory). The watermark lags one micro-batch (batch N's max event
+    time only takes effect in batch N+1 — verified empirically: a
+    straggler arriving ONE batch after the closing event still merges),
+    so the 10:40 straggler is delivered TWO batches after the 14:00 event
+    that closes its window; it must then be DROPPED from the final
+    result, not merged into a reopened window."""
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+
+    def write(name, mtime, ts_list):
+        path = os.path.join(d, name)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(ts_list)), pa.int64()),
+                    "ts": pa.array(ts_list, pa.timestamp("us")),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))
+
+    day = "2024-03-01"
+    t = lambda hm: datetime.fromisoformat(f"{day} {hm}:00")
+    # batch 0: two rows in the 10:00 window, then 14:00 -> at batch 0's
+    # end the watermark becomes 13:50 > 11:00, closing the 10:00 window
+    write("a.parquet", 1_000_000_000, [t("10:00"), t("10:20"), t("14:00")])
+    # batch 1: 15:30 advances the watermark (to 15:20, effective batch 2)
+    # and closes the 14:00 window with n=1
+    write("b.parquet", 1_000_000_100, [t("15:30")])
+    # batch 2: the 10:40 straggler — its window end (11:00) is far behind
+    # the in-effect watermark (15:20) and its state is long evicted ->
+    # dropped, not merged or re-emitted
+    write("c.parquet", 1_000_000_200, [t("10:40")])
+
+    agg = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.win_start, r.n) for r in spark.table("wm_late_drop").collect()
+    )
+    # 10:00 window holds 2, NOT 3: the straggler was dropped. The 15:00
+    # window never closes (watermark 15:20 < 16:00) so it is absent.
+    assert got == [(f"{day} 10:00:00", 2), (f"{day} 14:00:00", 1)]
