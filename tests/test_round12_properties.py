@@ -414,3 +414,141 @@ def test_watermark_drops_late_rows_across_micro_batches(spark, tmp_path):
     # 10:00 window holds 2, NOT 3: the straggler was dropped. The 15:00
     # window never closes (watermark 15:20 < 16:00) so it is absent.
     assert got == [(f"{day} 10:00:00", 2), (f"{day} 14:00:00", 1)]
+
+
+# ---------------------------------------------------------------------------
+# TPC-H differential fuzz — boundary-heavy synthetic tables (zero-slot
+# hardening: the tpch_* oracle rows are r9-stale until the r13 rotation)
+# ---------------------------------------------------------------------------
+
+from datetime import datetime, timedelta  # noqa: E402
+
+
+def _oracle_parity(spark, d, names):
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    problems = []
+    for name in names:
+        spec = registry.get(name)
+        problems += _compare(spec.fn(spark, d), spec.oracle, d, name)
+    assert not problems, problems
+
+
+#: order dates straddling Q4's [1996-01-01, 1996-04-01) quarter edges
+_ORDER_DATES = [
+    datetime(1995, 12, 31, 23, 59, 59),
+    datetime(1996, 1, 1),
+    datetime(1996, 2, 15, 12, 0, 0),
+    datetime(1996, 3, 31, 23, 59, 59),
+    datetime(1996, 4, 1),
+]
+#: ship offsets straddling Q4's strictly-greater +90-day lateness edge
+_SHIP_DELTAS = [
+    timedelta(days=89),
+    timedelta(days=90),
+    timedelta(days=90, seconds=1),
+    timedelta(days=91),
+]
+#: absolute ship dates on Q6's year window and Q1's <= 1998-09-02 cut
+_SHIP_DATES = [
+    datetime(1996, 1, 1),
+    datetime(1996, 12, 31, 23, 59, 59),
+    datetime(1997, 1, 1),
+    datetime(1998, 9, 2),
+    datetime(1998, 9, 2, 0, 0, 1),
+]
+
+# one lineitem: qty (23/24 on Q6's < 24 edge; None exercises null-skip
+# aggregation in both engines), price cents, discount on Q6's BETWEEN
+# 0.05..0.07 edges, tax, flags, ship spec ("rel", i) = orderdate + delta
+# or ("abs", i) = absolute boundary date
+_TPCH_LINE = st.tuples(
+    st.sampled_from([1.0, 23.0, 24.0, 50.0, None]),
+    st.integers(min_value=1, max_value=100_000),
+    st.sampled_from([0.04, 0.05, 0.06, 0.07, 0.08]),
+    st.sampled_from([0.0, 0.02, 0.08]),
+    st.sampled_from(["A", "N", "R"]),
+    st.sampled_from(["O", "F"]),
+    st.one_of(
+        st.tuples(st.just("rel"), st.integers(0, len(_SHIP_DELTAS) - 1)),
+        st.tuples(st.just("abs"), st.integers(0, len(_SHIP_DATES) - 1)),
+    ),
+)
+
+#: orders: key, custkey, priority, orderdate index, and 0-3 lines each
+_TPCH_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=999),
+        st.integers(min_value=1, max_value=20),
+        st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        st.integers(0, len(_ORDER_DATES) - 1),
+        st.lists(_TPCH_LINE, min_size=0, max_size=3),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda o: o[0],
+)
+
+
+def _write_tpch_tables(spark, d: str, orders, orphans):
+    """Full-schema orders + lineitem parquet via Spark (INT96 timestamps —
+    every example also exercises the loader's vintage routing)."""
+    o_rows, l_rows = [], []
+    for key, cust, prio, di, lines in orders:
+        odate = _ORDER_DATES[di]
+        o_rows.append((key, cust, "O", 1000.0, odate, prio))
+        for ln, (qty, cents, disc, tax, rf, ls, ship) in enumerate(lines):
+            sdate = (
+                odate + _SHIP_DELTAS[ship[1]]
+                if ship[0] == "rel"
+                else _SHIP_DATES[ship[1]]
+            )
+            l_rows.append(
+                (key, 1, 1, ln, qty, cents / 100.0, disc, tax, rf, ls, sdate)
+            )
+    for i, (qty, cents, disc, tax, rf, ls, ship) in enumerate(orphans):
+        sdate = _SHIP_DATES[ship[1] if ship[0] == "abs" else 0]
+        l_rows.append(
+            (10_000 + i, 1, 1, 0, qty, cents / 100.0, disc, tax, rf, ls, sdate)
+        )
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        l_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orders=_TPCH_ORDERS, orphans=st.lists(_TPCH_LINE, max_size=3))
+def test_tpch_boundaries_match_oracle_on_fuzzed_tables(spark, orders, orphans):
+    """tpch_q1 / q4 / q6 vs their DuckDB oracles on synthetic tables that
+    concentrate on every date/qty/discount predicate edge: the <= / < /
+    BETWEEN cuts must break identically in both engines, the strictly-
+    greater +90-day lateness edge must exclude the exact-boundary line,
+    null qty/discount must flow through filter + decimal aggregation the
+    same way, and orderless lineitems / lineless orders must drop out of
+    the semi join only."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    d = tempfile.mkdtemp(prefix="rhds_tpch_fuzz_")
+    try:
+        _write_tpch_tables(spark, d, orders, orphans)
+        _oracle_parity(spark, d, ("tpch_q1", "tpch_q4", "tpch_q6"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
