@@ -464,7 +464,10 @@ _SHIP_DATES = [
 # 0.05..0.07 edges, tax, flags, ship spec ("rel", i) = orderdate + delta
 # or ("abs", i) = absolute boundary date
 _TPCH_LINE = st.tuples(
-    st.sampled_from([1.0, 23.0, 24.0, 50.0, None]),
+    # 23/24 sit on Q6's < 24 edge; 100/125/126 let 2-3-line orders straddle
+    # Q18's strictly-greater sum(qty) > 250 HAVING edge (125+125 = 250 out,
+    # 125+126 in); None exercises null-skip aggregation in both engines
+    st.sampled_from([1.0, 23.0, 24.0, 100.0, 125.0, 126.0, None]),
     st.integers(min_value=1, max_value=100_000),
     st.sampled_from([0.04, 0.05, 0.06, 0.07, 0.08]),
     st.sampled_from([0.0, 0.02, 0.08]),
@@ -474,6 +477,22 @@ _TPCH_LINE = st.tuples(
         st.tuples(st.just("rel"), st.integers(0, len(_SHIP_DELTAS) - 1)),
         st.tuples(st.just("abs"), st.integers(0, len(_SHIP_DATES) - 1)),
     ),
+)
+
+#: customers: key, nationkey (cntry_class = %5 for Q22), acctbal drawn
+#: from a SMALL money pool so exact-average collisions happen (Q22's
+#: strictly-greater c_acctbal > avg edge: an all-equal class excludes
+#: everyone), mktsegment
+_TPCH_CUSTOMERS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=0, max_value=9),
+        st.sampled_from([-5.0, 0.0, 0.01, 500.0, 1000.0]),
+        st.sampled_from(["BUILDING", "AUTOMOBILE"]),
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda c: c[0],
 )
 
 #: orders: key, custkey, priority, orderdate index, and 0-3 lines each
@@ -491,9 +510,12 @@ _TPCH_ORDERS = st.lists(
 )
 
 
-def _write_tpch_tables(spark, d: str, orders, orphans):
-    """Full-schema orders + lineitem parquet via Spark (INT96 timestamps —
-    every example also exercises the loader's vintage routing)."""
+def _write_tpch_tables(spark, d: str, orders, orphans, customers=()):
+    """Full-schema customer + orders + lineitem parquet via Spark (INT96
+    timestamps — every example also exercises the loader's vintage
+    routing). Customer keys only partially overlap order custkeys, so
+    zero-order customers (Q13's c_count=0 bucket, Q22's NOT EXISTS) and
+    customerless orders both occur."""
     o_rows, l_rows = [], []
     for key, cust, prio, di, lines in orders:
         odate = _ORDER_DATES[di]
@@ -512,6 +534,15 @@ def _write_tpch_tables(spark, d: str, orders, orphans):
         l_rows.append(
             (10_000 + i, 1, 1, 0, qty, cents / 100.0, disc, tax, rf, ls, sdate)
         )
+    if customers is not None:
+        spark.createDataFrame(
+            [
+                (key, f"Customer#{key}", nat, bal, seg)
+                for key, nat, bal, seg in customers
+            ],
+            "c_custkey bigint, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/customer.parquet")
     spark.createDataFrame(
         o_rows,
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
@@ -531,15 +562,24 @@ def _write_tpch_tables(spark, d: str, orders, orphans):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(orders=_TPCH_ORDERS, orphans=st.lists(_TPCH_LINE, max_size=3))
-def test_tpch_boundaries_match_oracle_on_fuzzed_tables(spark, orders, orphans):
-    """tpch_q1 / q4 / q6 vs their DuckDB oracles on synthetic tables that
-    concentrate on every date/qty/discount predicate edge: the <= / < /
-    BETWEEN cuts must break identically in both engines, the strictly-
-    greater +90-day lateness edge must exclude the exact-boundary line,
-    null qty/discount must flow through filter + decimal aggregation the
-    same way, and orderless lineitems / lineless orders must drop out of
-    the semi join only."""
+@given(
+    orders=_TPCH_ORDERS,
+    orphans=st.lists(_TPCH_LINE, max_size=3),
+    customers=_TPCH_CUSTOMERS,
+)
+def test_tpch_boundaries_match_oracle_on_fuzzed_tables(
+    spark, orders, orphans, customers
+):
+    """tpch_q1 / q4 / q6 / q13 / q18 / q22 vs their DuckDB oracles on
+    synthetic tables that concentrate on every predicate edge: the
+    <= / < / BETWEEN date cuts must break identically in both engines,
+    the strictly-greater +90-day lateness edge must exclude the
+    exact-boundary line, Q18's sum(qty) > 250 HAVING must re-aggregate
+    decimal-exactly, Q22's c_acctbal > avg threshold must not drift
+    cross-engine even when balances tie the average exactly, null
+    qty/discount must flow through filter + decimal aggregation the same
+    way, and orderless lineitems / lineless orders / zero-order
+    customers land on the correct side of each join."""
     import shutil
     import tempfile
 
@@ -548,7 +588,11 @@ def test_tpch_boundaries_match_oracle_on_fuzzed_tables(spark, orders, orphans):
     registry.load_all_modules()
     d = tempfile.mkdtemp(prefix="rhds_tpch_fuzz_")
     try:
-        _write_tpch_tables(spark, d, orders, orphans)
-        _oracle_parity(spark, d, ("tpch_q1", "tpch_q4", "tpch_q6"))
+        _write_tpch_tables(spark, d, orders, orphans, customers)
+        _oracle_parity(
+            spark,
+            d,
+            ("tpch_q1", "tpch_q4", "tpch_q6", "tpch_q13", "tpch_q18", "tpch_q22"),
+        )
     finally:
         shutil.rmtree(d, ignore_errors=True)
