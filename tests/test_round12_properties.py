@@ -596,3 +596,109 @@ def test_tpch_boundaries_match_oracle_on_fuzzed_tables(
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Window-family tie fuzz — every win_* ordering claims totality; prove it
+# on tables where ties are the NORM, not the exception
+# ---------------------------------------------------------------------------
+
+_WIN_TS_POOL = [
+    datetime(2024, 5, 1, 10, 0, 0),
+    datetime(2024, 5, 1, 10, 0, 0),  # doubled: exact-duplicate ts dominate
+    datetime(2024, 5, 1, 10, 30, 0),
+    datetime(2024, 5, 1, 11, 0, 0),  # exactly 3600 s after base — the
+    datetime(2024, 5, 1, 11, 0, 1),  # RANGE 3600 PRECEDING in/out edge
+    datetime(2024, 5, 1, 12, 0, 0),
+]
+
+_WIN_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id: dense partitions
+        st.integers(0, len(_WIN_TS_POOL) - 1),
+        st.sampled_from(["click", "view", "buy"]),
+        st.sampled_from([None, 0.0, 1.25, 99.99]),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+_WIN_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=999),
+        st.integers(min_value=1, max_value=3),  # custkey: dense partitions
+        st.sampled_from(["O", "F", "P"]),
+        st.sampled_from([100.0, 100.0, 250.5, 999.99]),  # tie-heavy prices
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda o: o[0],
+)
+
+
+def _write_win_tables(spark, d, events, orders, customers):
+    spark.createDataFrame(
+        [
+            (i, _WIN_TS_POOL[ti], u, et, v, "{}")
+            for i, (u, ti, et, v) in enumerate(events)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    spark.createDataFrame(
+        [
+            (k, c, s, p, datetime(1996, 2, 1), "1-URGENT")
+            for k, c, s, p in orders
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+    spark.createDataFrame(
+        [(k, f"Customer#{k}", n, b, seg) for k, n, b, seg in customers],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/customer.parquet")
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=_WIN_EVENTS,
+    orders=_WIN_ORDERS,
+    customers=_TPCH_CUSTOMERS,
+)
+def test_window_family_total_ordering_under_ties(spark, events, orders, customers):
+    """The whole §2e window family vs oracles on tie-saturated tables:
+    duplicate timestamps per user (most events share one of ~5 instants),
+    duplicate prices per customer, duplicate balances per segment. Every
+    window's documented tie-break (event_id / orderkey / custkey) must
+    make row_number, ntile buckets, lag/lead neighbours, first/last,
+    running frames, and the RANGE 3600-second in/out edge land
+    identically in both engines — a partial ordering would pass on the
+    tie-free fixture and diverge here."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rhds_win_fuzz_")
+    try:
+        _write_win_tables(spark, d, events, orders, customers)
+        _oracle_parity(
+            spark,
+            d,
+            (
+                "win_rownum",
+                "win_rank",
+                "win_ntile",
+                "win_lag",
+                "win_running",
+                "win_moving",
+                "win_range",
+                "win_firstlast",
+                "win_sessionize",
+            ),
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
