@@ -14,6 +14,7 @@ directories alike, and all downstream operators are partition-agnostic.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -131,6 +132,10 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view named after the table,
     matching the oracle's view names so ``spark.sql`` text can be shared
-    nearly verbatim with ``oracle_sql()`` strings."""
+    nearly verbatim with ``oracle_sql()`` strings. Absent tables are
+    skipped — the same contract as the oracle side's view registration
+    (tests/parity.duckdb_con), so a partial synthetic dir serves the SQL
+    queries that only touch what it contains."""
     for t in TABLES:
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        if os.path.exists(table_path(sf_dir, t)):
+            load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -160,8 +160,8 @@ WITH s AS (
 )
 SELECT l_returnflag, n,
        ROUND(sx / n, 6) AS mean_qty,
-       ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
-       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty
+       ROUND(sqrt(GREATEST(sxx - sx * sx / n, 0) / (n - 1)), 6) AS stddev_qty,
+       ROUND(GREATEST(sxx - sx * sx / n, 0) / (n - 1), 6) AS var_qty
 FROM s
 """
 
@@ -188,8 +188,16 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx = F.col("sxx")
     # try_divide: a single-row group has no sample variance — NULL, the
     # same value DuckDB's x/0→NULL convention gives the oracle; plain `/`
-    # raises DIVIDE_BY_ZERO under ANSI and aborts the whole query
-    var = F.try_divide(sxx - sx * sx / n, n - 1)
+    # raises DIVIDE_BY_ZERO under ANSI and aborts the whole query.
+    # greatest(...,0) on the NUMERATOR: the co-moment is mathematically
+    # >= 0, but sxx is an exact decimal sum while sx*sx/n rounds in
+    # doubles, so a zero-variance group can cancel to ~-1e-10 — Spark's
+    # sqrt would return NaN where DuckDB's sqrt ERRORS outright (caught by
+    # the r12 aggregate fuzz on agg_corr's identical formulation). The
+    # clamp must sit INSIDE the division: greatest() ignores NULLs on both
+    # engines, so clamping the quotient would turn the n=1 NULL (no sample
+    # variance) into 0.0 and break the degenerate-group contract
+    var = F.try_divide(F.greatest(sxx - sx * sx / n, F.lit(0.0)), n - 1)
     return s.select(
         "l_returnflag",
         "n",
@@ -488,7 +496,8 @@ WITH m AS (
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
        ROUND((n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             / (sqrt(GREATEST(n * sxx - sx * sx, 0))
+                * sqrt(GREATEST(n * syy - sy * sy, 0))), 6)
          AS corr_qty_price,
        ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS cov_qty_price
 FROM m
@@ -521,11 +530,18 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_divide: degenerate groups (n=1, or a constant column →
         # zero variance denominator) have no correlation/covariance —
         # NULL, matching DuckDB's x/0→NULL in the oracle; plain `/`
-        # raises DIVIDE_BY_ZERO under ANSI
+        # raises DIVIDE_BY_ZERO under ANSI. greatest(...,0) under each
+        # sqrt: the co-moment is mathematically >= 0, but the exact-decimal
+        # sxx/syy minus the double-rounded sx*sx/sy*sy can cancel to
+        # ~-1e-10 on a zero-variance group (e.g. one 999.99 price) —
+        # Spark's sqrt(neg) is NaN while DuckDB's sqrt ERRORS, so without
+        # the clamp the oracle crashes where the plan silently NaNs
+        # (found by the r12 aggregate fuzz)
         F.round(
             F.try_divide(
                 n * sxy - sx * sy,
-                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+                F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+                * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
             ),
             6,
         ).alias("corr_qty_price"),

@@ -96,6 +96,15 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # r10 driver row no longer attests the current plan; fronted per the
     # rewrite rule (win_sessionize precedent above).
     "recon_footer_stats": 11,
+    # r12 aggregate fuzz: a zero-variance group whose money value is not
+    # binary-exact (e.g. one 999.99 price) cancels the exact-decimal sum
+    # of squares against the double-rounded square of sums to ~-1e-10;
+    # Spark's sqrt(neg) silently NaN'd while DuckDB's sqrt ERRORED the
+    # oracle outright. Both plan and oracle now clamp the co-moment with
+    # greatest(...,0) before sqrt — fixture-identical (variances there are
+    # large positive) but fronted per the rewrite rule.
+    "agg_corr": 12,
+    "agg_stats": 12,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
