@@ -444,6 +444,10 @@ def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTLIER_Z = 1.5
 _OUTLIER_MIN_GROUP = 5
 
+#: GREATEST(...,0) under the sqrt mirrors agg_corr/agg_stats (r12): the
+#: co-moment is mathematically >= 0 but can float-cancel to ~-1e-10 when a
+#: group's variance is zero and sx*sx exceeds double's 2^53-exact range —
+#: DuckDB's sqrt ERRORS on a negative where Spark's returns NaN.
 _OUTLIER_ORACLE = f"""
 WITH s AS (
   SELECT lang, COUNT(*) AS n,
@@ -452,11 +456,12 @@ WITH s AS (
   FROM documents GROUP BY lang HAVING COUNT(*) >= {_OUTLIER_MIN_GROUP}
 )
 SELECT d.doc_id, d.lang, d.n_chars,
-       (d.n_chars - s.sx / s.n) / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))
-         AS z
+       (d.n_chars - s.sx / s.n)
+         / sqrt(GREATEST(s.sxx - s.sx * s.sx / s.n, 0) / (s.n - 1)) AS z
 FROM documents d JOIN s ON s.lang = d.lang
 WHERE ABS((d.n_chars - s.sx / s.n)
-          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) >= {_OUTLIER_Z}
+          / sqrt(GREATEST(s.sxx - s.sx * s.sx / s.n, 0) / (s.n - 1)))
+      >= {_OUTLIER_Z}
 """
 
 
@@ -486,8 +491,14 @@ def x_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") >= _OUTLIER_MIN_GROUP)
     )
+    # greatest(...,0) mirrors agg_corr/agg_stats (r12): a zero-variance
+    # group with sx*sx beyond 2^53 can cancel the exact-integer sxx to
+    # ~-1e-10 — DuckDB's sqrt ERRORS on a negative where Spark NaNs
     z = (F.col("n_chars") - F.col("sx") / F.col("n")) / F.sqrt(
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+        F.greatest(
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+        )
+        / (F.col("n") - 1)
     )
     return (
         d.join(F.broadcast(s), "lang")

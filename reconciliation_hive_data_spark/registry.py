@@ -105,6 +105,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # large positive) but fronted per the rewrite rule.
     "agg_corr": 12,
     "agg_stats": 12,
+    "x_doc_outliers": 12,  # same clamp, same bug class (z-score denominator)
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
