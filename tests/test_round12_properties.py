@@ -839,3 +839,100 @@ def test_aggregate_family_matches_oracle_on_hostile_inputs(
         _oracle_parity(spark, d, names)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Relational-family fuzz — joins / set ops / filters / sort-limit on
+# null-key, duplicate-heavy, boundary-value inputs
+# ---------------------------------------------------------------------------
+
+#: part names around the LIKE '%red%' / rlike '^Brand#1[0-9]$' edges:
+#: substring-in-the-middle hits (fred, reddish), case misses (Red),
+#: near-misses (bored: no 'red' run)
+_PART_NAMES = ["burnished red copper", "reddish steel", "fred metal",
+               "Red brass", "bored plastic", "green tin"]
+_PART_BRANDS = ["Brand#09", "Brand#10", "Brand#19", "Brand#1A", "Brand#20"]
+
+_REL_PARTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=99),
+        st.sampled_from(_PART_NAMES),
+        st.sampled_from(_PART_BRANDS),
+        st.sampled_from(["STANDARD", "PROMO"]),
+        st.integers(min_value=1, max_value=50),
+        st.integers(min_value=100, max_value=200_000),  # retailprice cents
+    ),
+    min_size=0,
+    max_size=8,
+    unique_by=lambda p: p[0],
+)
+
+#: orders with prices straddling join_theta's > 300000.0 cut and heavy
+#: per-price ties for the sort/limit tie-breaks
+_REL_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=200),  # overlaps lineitem keys
+        st.integers(min_value=1, max_value=25),   # custkey: dangles vs 1-20
+        st.sampled_from(["O", "F", "P"]),
+        st.sampled_from([100.0, 100.0, 300000.0, 300000.01, 999999.99]),
+        st.integers(0, len(_ORDER_DATES) - 1),
+        st.sampled_from(["1-URGENT", "2-HIGH"]),
+    ),
+    min_size=0,
+    max_size=12,
+    unique_by=lambda o: o[0],
+)
+
+_REL_QUERIES = (
+    "join_inner", "join_broadcast", "join_outer", "join_semi", "join_anti",
+    "join_theta", "join_multiway", "join_self", "join_asof", "join_range",
+    "set_union", "set_except", "set_intersect", "set_dedup", "set_bagops",
+    "filter_pred", "filter_in_between", "filter_like", "filter_nullsafe",
+    "proj_compute", "sort_multi", "limit_topk", "topk_pergroup",
+)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=_AGG_LINES,
+    orders=_REL_ORDERS,
+    events=_WIN_EVENTS,
+    customers=_TPCH_CUSTOMERS,
+    parts=_REL_PARTS,
+)
+def test_relational_family_matches_oracle_on_hostile_inputs(
+    spark, lines, orders, events, customers, parts
+):
+    """Joins / set ops / filters / sort-limit vs oracles on inputs built
+    to break sloppy relational semantics: duplicate join keys on both
+    sides (fan-out joins), keys present on only one side (outer-null
+    fill, semi/anti membership), null flags flowing through predicates
+    and set ops with bag semantics, theta-join prices exactly on the
+    > 300000 cut, LIKE/regex pattern edges (substring hits, case misses,
+    boundary brands), and tie-saturated prices under every
+    sort/limit/top-k tie-break. Events reuse the tie-dense pool so the
+    as-of join resolves exact-equal timestamps identically."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    d = tempfile.mkdtemp(prefix="rhds_rel_fuzz_")
+    try:
+        _write_agg_tables(spark, d, lines, orders, events, customers)
+        spark.createDataFrame(
+            [
+                (k, nm, br, ty, sz, cents / 100.0)
+                for k, nm, br, ty, sz, cents in parts
+            ],
+            "p_partkey bigint, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/part.parquet")
+        _oracle_parity(spark, d, _REL_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
