@@ -67,7 +67,9 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "join_asof": 2,          # linear window plan replaced the join-based plan
     "join_self": 2,          # composite (user_id, bucket) equi-join key added
     "x_dedup_embed": 7,      # coord-bucket equi-join candidate generation
-    "s_stateful_custom": 3,  # vectorized micro-unit accumulator
+    # (s_stateful_custom r3 vectorized-accumulator rewrite superseded by
+    # the r12 entry below — single entry at the max round, as with
+    # x_dedup_clusters)
     "x_decontaminate": 3,    # array-side gram totals (single explode)
     "x_dedup_near": 5,            # persisted shingle table + checkpointed result
     "x_dedup_simhash": 5,         # checkpointed signature before self-join
@@ -106,6 +108,13 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "agg_corr": 12,
     "agg_stats": 12,
     "x_doc_outliers": 12,  # same clamp, same bug class (z-score denominator)
+    # r12 streaming fuzz: a null-valued event crashed the stateful
+    # accumulator (NaN → int64 micro-unit cast raises, aborting the
+    # stream); nulls now split SQL-style — n_events counts every row,
+    # max/sum skip nulls and emit NULL when no non-null value exists.
+    # State schema gained the non-null counter. Fixture null-free →
+    # results identical there, fronted per the rewrite rule.
+    "s_stateful_custom": 12,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

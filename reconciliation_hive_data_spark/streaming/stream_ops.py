@@ -405,23 +405,32 @@ def s_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _events_stream(spark, sf_dir).select("user_id", "value")
 
     def track(key, pdfs, state: GroupState):
-        n, mx, total_u = state.get if state.exists else (0, float("-inf"), 0)
+        # k counts NON-null values: SQL's MAX/SUM skip nulls and are NULL
+        # when every value is null, while n_events counts every row — the
+        # accumulator mirrors that split exactly (a NaN reaching the
+        # int64 micro-unit cast raised and aborted the whole stream; found
+        # by the r12 streaming fuzz on a null-valued event)
+        n, k, mx, total_u = (
+            state.get if state.exists else (0, 0, float("-inf"), 0)
+        )
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                mx = max(mx, float(pdf["value"].max()))
+            vals = pdf["value"].dropna()
+            if len(vals):
+                k += len(vals)
+                mx = max(mx, float(vals.max()))
                 # vectorized micro-unit accumulation: one Arrow-batch-wide
                 # pandas op, no per-row Python interpreter loop
                 total_u += int(
-                    (pdf["value"] * 1_000_000).round().astype("int64").sum()
+                    (vals * 1_000_000).round().astype("int64").sum()
                 )
-        state.update((n, mx, total_u))
+        state.update((n, k, mx, total_u))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "max_value": [mx],
-                "sum_value": [total_u / 1_000_000.0],
+                "max_value": [mx if k else None],
+                "sum_value": [total_u / 1_000_000.0 if k else None],
             }
         )
 
@@ -429,7 +438,7 @@ def s_stateful_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         track,
         outputStructType="user_id bigint, n_events bigint, max_value double,"
         " sum_value double",
-        stateStructType="n bigint, mx double, total_u bigint",
+        stateStructType="n bigint, k bigint, mx double, total_u bigint",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

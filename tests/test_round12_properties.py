@@ -936,3 +936,85 @@ def test_relational_family_matches_oracle_on_hostile_inputs(
         _oracle_parity(spark, d, _REL_QUERIES)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-family fuzz — micro-batch replays vs batch oracles on
+# boundary-heavy synthetic events
+# ---------------------------------------------------------------------------
+
+#: fixture event-type domain (stream-stream joins purchases against views)
+_STREAM_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(0, len(_WIN_TS_POOL) - 1),
+        st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+        st.sampled_from([None, 0.0, 1.25, 99.99]),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+_STREAM_QUERIES = (
+    "src_stream", "s_tumbling", "s_sliding", "s_session", "s_dedup_state",
+    "s_stream_static", "s_stateful_custom", "s_foreachbatch",
+    "s_checkpoint_resume", "s_stream_stream",
+)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_STREAM_EVENTS, customers=_TPCH_CUSTOMERS)
+def test_streaming_family_matches_oracle_on_boundary_events(
+    spark, events, customers
+):
+    """The §2k micro-batch replays vs their batch-SQL oracles on events
+    whose timestamps sit on the exact semantic edges: duplicate instants
+    (same user, same µs), a gap of exactly 30 minutes (the session-window
+    strictly-greater cut), the tumbling/sliding hour boundary, and null
+    values through the windowed decimal sums. The stream source reads a
+    single pyarrow-written µs-timestamp file — the non-nanos vintage of
+    the loader probe — while customer arrives as a Spark-written dir, so
+    the stream-static join crosses both vintage paths."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    d = tempfile.mkdtemp(prefix="rhds_stream_fuzz_")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(events)), pa.int64()),
+                    "ts": pa.array(
+                        [_WIN_TS_POOL[ti] for _, ti, _t, _v in events],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([u for u, *_ in events], pa.int64()),
+                    "event_type": pa.array(
+                        [t for _, _ti, t, _v in events], pa.string()
+                    ),
+                    "value": pa.array(
+                        [v for *_, v in events], pa.float64()
+                    ),
+                    "props": pa.array(["{}"] * len(events), pa.string()),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        spark.createDataFrame(
+            [(k, f"Customer#{k}", n, b, seg) for k, n, b, seg in customers],
+            "c_custkey bigint, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(d + "/customer.parquet")
+        _oracle_parity(spark, d, _STREAM_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
