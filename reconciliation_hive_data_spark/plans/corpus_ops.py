@@ -146,10 +146,15 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.array_max("embedding")).cast("double").alias("mx"),
     )
     mn, mx = F.col("mn"), F.col("mx")
+    # try_divide: a zero-range corpus (every element identical) has no
+    # grid — NULL quotient, and least() skips NULLs to the 255 clamp on
+    # BOTH engines, instead of ANSI-aborting the job (r12 embeddings
+    # fuzz; the perdim variant gained the same guard in r10)
     codes = F.transform(
         "embedding",
         lambda v: F.least(
-            F.floor((v.cast("double") - mn) / (mx - mn) * 256), F.lit(255)
+            F.floor(F.try_divide(v.cast("double") - mn, mx - mn) * 256),
+            F.lit(255),
         ).cast("int"),
     )
     return e.crossJoin(F.broadcast(stats)).select(
@@ -290,7 +295,8 @@ def _knn_half_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id",
         "label",
         "nbr_id",
-        (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        # try_divide: zero-norm vectors NULL out instead of ANSI-aborting
+        F.try_divide(dot("ea", "eb"), F.col("na") * F.col("nb")).alias("cos_sim"),
     )
 
 

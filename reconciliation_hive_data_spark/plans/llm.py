@@ -93,7 +93,11 @@ def duck_dot(a: str, b: str) -> str:
 
 
 def cosine(a: str, b: str) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """try_divide, not ``/``: a zero-norm (corrupt/padded) vector anywhere
+    in the corpus would ANSI-abort the whole job on plain division; NULL
+    matches DuckDB's x/0 convention and falls out of every >= threshold
+    filter (found by the r12 embeddings fuzz)."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def duck_cosine(a: str, b: str) -> str:
@@ -529,9 +533,16 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse doesn't cover the two differently-projected sides)."""
     e = embeddings_dup(spark, sf_dir)
     n = e.withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+    # try_divide: a zero-norm vector has no direction — NULL coordinates
+    # give it a NULL bucket (never equi-joined) and it can never qualify
+    # as a near-dup, instead of ANSI-aborting the job (r12 embeddings fuzz)
     n = (
-        n.withColumn("c0", F.element_at("embedding", 1) / F.col("nrm"))
-        .withColumn("c1", F.element_at("embedding", 2) / F.col("nrm"))
+        n.withColumn(
+            "c0", F.try_divide(F.element_at("embedding", 1), F.col("nrm"))
+        )
+        .withColumn(
+            "c1", F.try_divide(F.element_at("embedding", 2), F.col("nrm"))
+        )
         .withColumn("b0", F.floor(F.col("c0") / _EMBED_W).cast("long"))
         .localCheckpoint()
     )
@@ -558,7 +569,7 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     coord_bound = (F.abs(F.col("c0a") - F.col("c0b")) <= _EMBED_W) & (
         F.abs(F.col("c1a") - F.col("c1b")) <= _EMBED_W
     )
-    cos = dot("ea", "eb") / (F.col("na") * F.col("nb"))
+    cos = F.try_divide(dot("ea", "eb"), F.col("na") * F.col("nb"))
     return (
         a.join(b, ["jb"])
         .filter(
@@ -719,7 +730,8 @@ def x_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "vec_a",
         "vec_b",
-        (dot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos_raw"),
+        # try_divide: zero-norm vectors NULL out instead of ANSI-aborting
+        F.try_divide(dot("ea", "eb"), F.col("na") * F.col("nb")).alias("cos_raw"),
     )
     w = Window.partitionBy("label").orderBy(
         F.col("cos_raw").desc(), F.col("vec_a"), F.col("vec_b")

@@ -66,7 +66,8 @@ _MODULES = (
 _MODIFIED_IN_ROUND: dict[str, int] = {
     "join_asof": 2,          # linear window plan replaced the join-based plan
     "join_self": 2,          # composite (user_id, bucket) equi-join key added
-    "x_dedup_embed": 7,      # coord-bucket equi-join candidate generation
+    # (x_dedup_embed r7 coord-bucket rewrite superseded by the r12 entry
+    # below — single entry at the max round)
     # (s_stateful_custom r3 vectorized-accumulator rewrite superseded by
     # the r12 entry below — single entry at the max round, as with
     # x_dedup_clusters)
@@ -83,7 +84,7 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # fronting logic keys off the most recent rewrite
     "x_dedup_clusters": 9,
     "recon_crossformat": 6,       # ORC target became a fingerprinted artifact
-    "x_knn_graph": 8,             # mirrored half-pair join (cosine folded once)
+    # (x_knn_graph r8 half-pair rewrite superseded by the r12 entry below)
     # µs-exact session-gap comparison replaced the whole-second cast('long')
     # truncation (ADVICE r9): boundary gaps in (1800 s, 1801 s) could flip
     # sessions vs the oracles' `> INTERVAL 30 MINUTE`; fixture-identical on
@@ -108,6 +109,18 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "agg_corr": 12,
     "agg_stats": 12,
     "x_doc_outliers": 12,  # same clamp, same bug class (z-score denominator)
+    # r12 embeddings fuzz: a zero-norm vector ANSI-aborted every cosine
+    # query (plain `/` on dot/(na*nb)) and a zero-range corpus aborted
+    # the global quantizer's grid division; all now try_divide → NULL,
+    # matching DuckDB's x/0 convention (NULL falls out of the >= filters
+    # and both engines' null-skipping least()). Fixture has no degenerate
+    # vectors → results identical there; fronted per the rewrite rule.
+    "x_dedup_embed": 12,
+    "x_sim_search": 12,
+    "x_sim_ivf": 12,
+    "x_sim_pairs": 12,
+    "x_knn_graph": 12,
+    "x_embed_quantize": 12,
     # r12 streaming fuzz: a null-valued event crashed the stateful
     # accumulator (NaN → int64 micro-unit cast raises, aborting the
     # stream); nulls now split SQL-style — n_events counts every row,

@@ -1018,3 +1018,93 @@ def test_streaming_family_matches_oracle_on_boundary_events(
         _oracle_parity(spark, d, _STREAM_QUERIES)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings-family fuzz — degenerate vectors through the similarity path
+# ---------------------------------------------------------------------------
+
+#: deterministic hostile vector shapes (dim 64, float32 like the fixture):
+#: the all-zero vector (norm 0 -> cosine x/0), exact axis dups, a pair
+#: rotated just inside / just outside the cos >= 0.999 dedup cut
+#: (eps 0.04 -> cos ~0.9992 in; eps 0.05 -> ~0.99875 out), a negated and
+#: a scaled copy (cos -1 / +1), and a first-coordinate bucket-edge value
+_VEC_KINDS = (
+    "zero", "e0", "e0_eps4", "e0_eps5", "e1", "neg_e0", "scaled_e0",
+    "mix", "c0_edge",
+)
+
+
+def _mk_vec(kind):
+    v = [0.0] * 64
+    if kind == "e0":
+        v[0] = 1.0
+    elif kind == "e0_eps4":
+        v[0], v[1] = 1.0, 0.04
+    elif kind == "e0_eps5":
+        v[0], v[1] = 1.0, 0.05
+    elif kind == "e1":
+        v[1] = 1.0
+    elif kind == "neg_e0":
+        v[0] = -1.0
+    elif kind == "scaled_e0":
+        v[0] = 2.0
+    elif kind == "mix":
+        v[0] = v[1] = 0.70710678
+    elif kind == "c0_edge":
+        v[0], v[2] = 0.224, 0.9746  # c0 on a floor(c0/0.0448) bucket edge
+    return v
+
+
+_EMB_SPECS = st.lists(
+    st.tuples(st.sampled_from(_VEC_KINDS), st.integers(min_value=0, max_value=9)),
+    min_size=1,
+    max_size=12,
+)
+
+_EMB_QUERIES = (
+    "x_dedup_embed", "x_sim_search", "x_sim_ivf", "x_sim_pairs",
+    "x_knn_graph", "x_embed_quantize", "x_embed_quantize_perdim",
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(specs=_EMB_SPECS)
+def test_embedding_family_matches_oracle_on_degenerate_vectors(spark, specs):
+    """The similarity/quantization family vs oracles on vectors the
+    fixture never contains: zero-norm vectors (cosine division by zero —
+    including as the vec_id=0 probe x_sim_search queries with), exact
+    duplicates and scaled copies (cosine ties for the top-k tie-breaks),
+    pairs straddling the cos >= 0.999 dedup cut, antipodal vectors, and
+    zero-range quantization dimensions."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    d = tempfile.mkdtemp(prefix="rhds_emb_fuzz_")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(len(specs)), pa.int64()),
+                    "embedding": pa.array(
+                        [_mk_vec(k) for k, _l in specs],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([l for _k, l in specs], pa.int32()),
+                }
+            ),
+            f"{d}/embeddings.parquet",
+        )
+        _oracle_parity(spark, d, _EMB_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
