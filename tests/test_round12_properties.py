@@ -889,6 +889,11 @@ _REL_QUERIES = (
     "set_union", "set_except", "set_intersect", "set_dedup", "set_bagops",
     "filter_pred", "filter_in_between", "filter_like", "filter_nullsafe",
     "proj_compute", "sort_multi", "limit_topk", "topk_pergroup",
+    # md5-deterministic sketches + the Bloom-pruned join on the same
+    # hostile keys, and the calendar-completeness recon over events whose
+    # hour gaps produce MISSING/SPARSE rows
+    "sketch_bloom", "sketch_cms", "sketch_hll", "sketch_kmv",
+    "join_bloomprune", "recon_partition_complete",
 )
 
 
