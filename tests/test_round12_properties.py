@@ -894,6 +894,11 @@ _REL_QUERIES = (
     # hour gaps produce MISSING/SPARSE rows
     "sketch_bloom", "sketch_cms", "sketch_hll", "sketch_kmv",
     "join_bloomprune", "recon_partition_complete",
+    # the scale-plan variants (salted agg/join, metadata re-aggregation,
+    # z-order linearization, gap fill) over the same hostile inputs —
+    # each must stay row-identical to its unsalted/direct oracle
+    "agg_salted", "join_skew_salted", "agg_reaggregate", "x_zorder",
+    "x_gapfill",
 )
 
 
