@@ -51,7 +51,11 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     files. DuckDB twin extracts the same path from the JSON string —
     identical values, full hash-check."""
     ev = load(spark, sf_dir, "events")
-    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    # try_parse_json + try_variant_get, not the strict forms: parse_json
+    # ABORTS the job on the first malformed props string and variant_get on
+    # the first non-castable k (probed r12) — one dirty row in 100 TB of
+    # semi-structured logs must degrade to NULL, not kill the pipeline.
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

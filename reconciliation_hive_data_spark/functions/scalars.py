@@ -33,7 +33,8 @@ SELECT c_custkey,
        lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
        replace(c_name, 'Customer#', 'C-') AS name_short,
        trim(concat('  ', c_mktsegment, '  ')) AS seg_trimmed,
-       split_part(c_name, '#', 2) AS name_num
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE split_part(c_name, '#', 2) END AS name_num
 FROM customer
 """
 
@@ -41,7 +42,16 @@ FROM customer
 @query("fn_string", oracle=_STRING_ORACLE)
 def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """concat_ws/upper/lower/substring/length/lpad/replace/trim/split —
-    the row-serialization toolkit reconciliation hashing is built on."""
+    the row-serialization toolkit reconciliation hashing is built on.
+
+    seg_trimmed pads via concat_ws, not concat: strict concat NULLs the
+    whole result when one operand is NULL (so a NULL segment silently
+    reported NULL instead of '' — caught by the r12 hostile-input fuzz),
+    while concat_ws skips NULL operands, the skip-null convention the
+    DuckDB twin's concat applies and the one serialization code wants.
+    The oracle's name_num carries an explicit IS NULL guard: DuckDB's
+    split_part returns '' for NULL input — an engine quirk — where this
+    engine keeps SQL NULL-propagation."""
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -52,7 +62,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("c_name").cast("int").alias("name_len"),
         F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("key_padded"),
         F.regexp_replace("c_name", "Customer#", "C-").alias("name_short"),
-        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
+        F.trim(F.concat_ws("", F.lit("  "), F.col("c_mktsegment"), F.lit("  "))).alias(
             "seg_trimmed"
         ),
         F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
@@ -443,8 +453,12 @@ FROM events
 def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-manipulation family (AND/OR/XOR/shift/popcount/NOT) over int64
     keys — the primitives behind hash partitioning, bitmap flags, and key
-    packing. All two's-complement int64 ops, bit-identical on both engines;
-    shifts stay in range because the fixture keys are far below 2^55."""
+    packing. All two's-complement int64 ops, bit-identical on both engines
+    while ``user_id << 8`` stays inside int64 (user_id < 2^55). Past that
+    the engines genuinely diverge — Spark's shiftleft wraps
+    two's-complement, DuckDB's ``<<`` ERRORS on overflow (probed r12) —
+    so overflow inputs sit in the fuzz's robustness domain (Spark-only
+    no-abort), not the parity domain."""
     e = load(spark, sf_dir, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
     return e.select(
@@ -510,13 +524,17 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     u = d.select("doc_id", url.alias("url"))
+    # try_parse_url, not parse_url: the strict form ABORTS the whole job on
+    # the first RFC-invalid URL (spaces in the authority, bad %-escapes —
+    # probed r12), and source strings in a 100 TB web corpus are exactly
+    # where such values live. NULL components are the per-row answer.
     return u.select(
         "doc_id",
-        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
-        F.parse_url("url", F.lit("HOST")).alias("host"),
-        F.parse_url("url", F.lit("PATH")).alias("path"),
-        F.parse_url("url", F.lit("QUERY")).alias("query"),
-        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+        F.try_parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.try_parse_url("url", F.lit("HOST")).alias("host"),
+        F.try_parse_url("url", F.lit("PATH")).alias("path"),
+        F.try_parse_url("url", F.lit("QUERY")).alias("query"),
+        F.try_parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
 
 
@@ -576,7 +594,8 @@ SELECT o_orderkey,
        meta.status AS status,
        meta.priority AS priority,
        meta.total_cents AS total_cents,
-       meta = {'status': 'O',
+       meta IS NOT DISTINCT FROM
+              {'status': 'O',
                'priority': meta.priority,
                'total_cents': meta.total_cents} AS is_open
 FROM s
@@ -586,9 +605,18 @@ FROM s
 @query("fn_struct", oracle=_FN_STRUCT_ORACLE)
 def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct surface: named_struct construction, dotted field access, and
-    whole-struct equality (structural compare — the nested-type primitive
-    under typed multimodal metadata columns). The money field rides as
-    integer cents so the struct compare is exact on both engines."""
+    whole-struct null-safe equality (structural compare — the nested-type
+    primitive under typed multimodal metadata columns). The money field
+    rides as integer cents so the struct compare is exact on both engines.
+
+    eqNullSafe / IS NOT DISTINCT FROM, not ``==`` / ``=`` (r12 fuzz): the
+    two engines' plain struct equality DISAGREES once a field is NULL —
+    Spark's ``==`` on structs inherits ordering semantics (NULL fields
+    compare equal, so an all-NULL-total open order answered TRUE), DuckDB's
+    ``=`` is three-valued (same row answered NULL). Null-safe equality is
+    spelled explicitly on both engines, agrees row-for-row (probed r12),
+    and is the reconciliation-correct primitive anyway — a row-match
+    verdict must be two-valued, never unknown."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
     meta = F.struct(
         F.col("o_orderstatus").alias("status"),
@@ -606,5 +634,5 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.status").alias("status"),
         F.col("meta.priority").alias("priority"),
         F.col("meta.total_cents").alias("total_cents"),
-        (F.col("meta") == twin).alias("is_open"),
+        F.col("meta").eqNullSafe(twin).alias("is_open"),
     )

@@ -499,12 +499,20 @@ def x_doc_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # greatest(...,0) mirrors agg_corr/agg_stats (r12): a zero-variance
     # group with sx*sx beyond 2^53 can cancel the exact-integer sxx to
-    # ~-1e-10 — DuckDB's sqrt ERRORS on a negative where Spark NaNs
-    z = (F.col("n_chars") - F.col("sx") / F.col("n")) / F.sqrt(
-        F.greatest(
-            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
-        )
-        / (F.col("n") - 1)
+    # ~-1e-10 — DuckDB's sqrt ERRORS on a negative where Spark NaNs.
+    # try_divide (r12 fuzz): an exactly-zero-variance group (every doc the
+    # same length — fixed-length records are legal data) makes σ = 0 and
+    # ANSI division ABORTS the job; NULL z matches DuckDB's x/0 answer and
+    # falls out of the |z| >= cutoff filter on both engines — zero spread
+    # correctly yields zero outliers.
+    z = F.try_divide(
+        F.col("n_chars") - F.col("sx") / F.col("n"),
+        F.sqrt(
+            F.greatest(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.lit(0.0)
+            )
+            / (F.col("n") - 1)
+        ),
     )
     return (
         d.join(F.broadcast(s), "lang")

@@ -256,11 +256,15 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum("value", "type_sum"),
     )
     joined = salted_join(ev, dim, ["event_type"], "event_id", _SKEW_JOIN_SALT)
+    # try_divide, not `/`: an event_type whose values sum to exactly 0 is
+    # legal data, and ANSI division ABORTS the whole job on it (caught by
+    # the r12 relational fuzz). NULL is also DuckDB's x/0 answer, so the
+    # oracle's plain division stays byte-identical.
     return joined.select(
         "event_id",
         "event_type",
         "type_n",
-        (F.col("value") / F.col("type_sum")).alias("value_share"),
+        F.try_divide(F.col("value"), F.col("type_sum")).alias("value_share"),
     )
 
 

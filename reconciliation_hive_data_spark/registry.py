@@ -121,6 +121,32 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_sim_pairs": 12,
     "x_knn_graph": 12,
     "x_embed_quantize": 12,
+    # r12 scalar-function fuzz: (a) parse_url ABORTED the job on one
+    # RFC-invalid URL and parse_json/variant_get on one malformed or
+    # non-castable props value — all now try_* → NULL per row; (b)
+    # fn_string's strict concat NULLed seg_trimmed for a NULL segment
+    # where the skip-null convention (and the oracle's concat) yields ''
+    # — now concat_ws, plus an oracle IS NULL guard for DuckDB's
+    # split_part('' for NULL input) quirk. Fixture-identical (well-formed
+    # URLs/JSON, no NULL segments); fronted per the rewrite rule.
+    "fn_url": 12,
+    "fn_variant": 12,
+    "fn_string": 12,
+    # (c) fn_struct's whole-struct compare: Spark struct ``==`` inherits
+    # ordering semantics (NULL fields equal) while DuckDB ``=`` is
+    # three-valued — a NULL total_cents made is_open TRUE here, NULL
+    # there. Both sides now spell null-safe equality (eqNullSafe /
+    # IS NOT DISTINCT FROM), which the engines agree on row-for-row and
+    # which a two-valued match verdict wants. Fixture has no NULL struct
+    # fields → results identical there; fronted per the rewrite rule.
+    "fn_struct": 12,
+    # r12 relational fuzz, second pass: an event_type whose values sum to
+    # exactly 0 made value/type_sum ANSI-abort the whole salted join; the
+    # same class hit x_doc_outliers' z-score when a language group has
+    # exactly zero length-variance (σ = 0). Both now try_divide → NULL,
+    # DuckDB's x/0 answer (x_doc_outliers was already fronting this round
+    # for the negative-cancellation clamp; join_skew_salted is new here).
+    "join_skew_salted": 12,
     # r12 streaming fuzz: a null-valued event crashed the stateful
     # accumulator (NaN → int64 micro-unit cast raises, aborting the
     # stream); nulls now split SQL-style — n_events counts every row,
