@@ -69,7 +69,13 @@ def money_sum_sql(expr: str, alias: str) -> str:
 
 
 def money_avg(col: str | Column, alias: str) -> Column:
-    """Order-independent mean: exact decimal sum divided by count, in doubles."""
+    """Order-independent mean: exact decimal sum divided by count, in doubles.
+
+    Plain ``/`` adjudicated safe (r13 division audit): COUNT(c) == 0 happens
+    only when every value is NULL, in which case SUM is NULL and Spark's
+    Divide returns NULL without evaluating the zero check (verified on
+    Spark 4.1 ANSI: NULL/0 → NULL, matching DuckDB). A non-NULL numerator
+    always comes with COUNT >= 1, so the ANSI abort is unreachable."""
     c = F.col(col) if isinstance(col, str) else col
     total = F.sum(c.cast(f"decimal(18,{MONEY_SCALE})")).cast("double")
     return (total / F.count(c)).alias(alias)

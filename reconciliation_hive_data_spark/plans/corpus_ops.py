@@ -429,6 +429,12 @@ def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             "pair_n",
+            # Plain `/` adjudicated safe (r13 division audit): a scored row
+            # exists only when pair_n >= _PMI_MIN_PAIR (10), which forces
+            # bt >= 10 and t >= bt; cnt_a/cnt_b are groupBy counts >= 1, and
+            # (cnt_a/t)*(cnt_b/t) >= 1/t² cannot underflow to 0.0 for any
+            # realistic corpus (t < 1e15 ⇒ product > 1e-30 ≫ 5e-324). The
+            # ANSI zero-denominator abort is unreachable on every branch.
             (
                 (F.col("pair_n").cast("double") / F.col("bt"))
                 / (

@@ -1270,6 +1270,9 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("ninter"))
     )
+    # Plain `/` adjudicated safe (r13 division audit): na/nb are
+    # groupBy-count outputs — a group exists only with >= 1 shingle row,
+    # so least(na, nb) >= 1; the ANSI zero-denominator abort is unreachable.
     cont = F.col("ninter").cast("double") / F.least("na", "nb")
     out = inter.filter(cont >= 0.9).select(
         "doc_a", "doc_b", cont.alias("containment")

@@ -309,6 +309,11 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_hits",
         "n_grams",
+        # Plain `/` adjudicated safe (r13 division audit): the totals
+        # branch keeps only docs with >= 8 tokens, which yield >= 1
+        # distinct 8-gram, so n_grams >= 1 on every joined row; the ANSI
+        # zero-denominator abort is unreachable (NULL text fails the
+        # size filter and never reaches here).
         (F.col("n_hits").cast("double") / F.col("n_grams")).alias("contamination"),
     )
 
@@ -442,6 +447,13 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["r"],
         ).alias("z")
     )
+    # Plain `/` adjudicated safe (r13 division audit): z is the sum of
+    # sqrt(n_toks) over every source group; each group has >= 1 doc and
+    # size(split(text,' ')) >= 1 for non-NULL text, so z > 0 whenever any
+    # weight row exists. All-NULL-text sources make z NULL (NULL division
+    # is NULL, not an ANSI abort), and an empty documents table produces
+    # zero rows so the expression never evaluates. z == 0.0 exactly is
+    # unreachable.
     w = F.sqrt(F.col("n_toks").cast("double")) / F.col("z")
     return per_src.crossJoin(F.broadcast(denom)).select(
         "source",
@@ -563,6 +575,9 @@ def x_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         " concat(slice(starts, 2, size(toks)), array(size(toks))),"
         " starts, (e, s) -> e - s))"
     )
+    # Plain `/` adjudicated safe (r13 division audit): the bound filter
+    # keeps only size(toks) >= 2, so n >= 2 and g2 (the n-1 bigrams) is
+    # never empty; NULL text fails the size filter upstream.
     dup_word = 1.0 - F.size(F.array_distinct(toks)).cast("double") / n
     top_word = top_cnt.cast("double") / n
     dup_2g = 1.0 - F.size(F.array_distinct(g2)).cast("double") / F.size(g2)

@@ -458,6 +458,13 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def est(tag: str):
+        # Plain `/` adjudicated safe (r13 division audit): tau is the
+        # MAX of 48-bit md5-prefix hashes — an empty side makes it NULL
+        # (NULL division → NULL, no ANSI abort; verified Spark 4.1), and
+        # tau == 0 requires md5(custkey) to start with 12 zero hex chars
+        # on EVERY sampled key (P ≈ 2^-48 per key) — below the fuzz and
+        # production noise floor, and the estimator itself is ±1/√k
+        # approximate so that tail is immaterial.
         return (
             (F.col(f"c_{tag}").cast("double") - 1.0)
             * float(_KMV_DOMAIN)

@@ -154,6 +154,16 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # State schema gained the non-null counter. Fixture null-free →
     # results identical there, fronted per the rewrite rule.
     "s_stateful_custom": 12,
+    # r13: the two TPC-H ratio queries carried the exact abort class r12
+    # closed in the similarity family — a plain ANSI `/` over an aggregate
+    # denominator that legal data (100%-discount months/years) can drive to
+    # exactly 0, killing the job where the DuckDB oracle's 0/0 is NULL.
+    # The r12 full-suite fuzz (tests/test_round12_tpchfull_properties.py)
+    # falsified q14 deterministically; q8 had the identical shape by
+    # inspection. Both now F.try_divide. Fixture months/years have nonzero
+    # revenue → results identical there; fronted per the rewrite rule.
+    "tpch_q14": 13,
+    "tpch_q8": 13,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
