@@ -677,8 +677,15 @@ WITH delta AS (
 _INCR_ORACLE = _INCR_CTE + """
 SELECT d.doc_id, d.lang
 FROM delta d
-WHERE md5(d.text) NOT IN (SELECT md5(text) FROM documents)
+WHERE md5(d.text) IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM documents c WHERE md5(c.text) = md5(d.text))
 """
+# ^ NOT EXISTS, not NOT IN (r13 hostile-docs fuzz): one NULL-text corpus
+# row puts a NULL in a NOT IN list, which makes NOT IN never-true and
+# rejects EVERY delta doc — three-valued logic poisoning the whole batch.
+# NOT EXISTS with equality ignores NULL index rows, matching Spark's
+# null-unsafe anti-join; the IS NOT NULL guard mirrors the plan's
+# quarantine of unfingerprint-able delta docs.
 
 
 @query("x_dedup_incremental", oracle=_INCR_ORACLE)
@@ -705,6 +712,13 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = d.select(F.md5("text").alias("fp"))
     return (
         delta.select("doc_id", "lang", F.md5("text").alias("fp"))
+        # r13 hostile-docs fuzz: a NULL-text delta doc has a NULL
+        # fingerprint — Spark's null-unsafe anti-join would ADMIT it
+        # (NULL never equi-matches) while the oracle's three-valued
+        # NOT IN rejects it. Rejecting is also the right ingest policy:
+        # an unfingerprint-able (corrupt) document cannot be verified as
+        # new, so it is quarantined rather than blindly admitted.
+        .filter(F.col("fp").isNotNull())
         .join(index, "fp", "left_anti")
         .select("doc_id", "lang")
     )

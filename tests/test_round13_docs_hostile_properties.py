@@ -1,0 +1,149 @@
+"""Round-13 hostile-input fuzz for the documents-table text family — the
+same campaign that swept the aggregate / window / relational / streaming /
+embeddings / scalar-fn / TPC-H families in rounds 10-12, pointed at the
+text pipeline.
+
+Two gaps in the existing coverage (tests/test_round10_properties.py):
+
+1. **NULL values never reached the text family.** The r10 writer derives
+   ``n_chars = len(text)`` so a NULL text crashes the fixture builder
+   before any query runs, and no edge doc carries a NULL lang/source.
+   Yet NULL-valued rows are exactly the corrupt-row class that aborted
+   s_stateful_custom (r12 streaming fuzz) and the cosine family (r12
+   embeddings fuzz) — at 100 TB a single NULL document must not kill a
+   corpus job or silently diverge from the oracle.
+
+2. **Six r11 documents-only queries were never added to the r10 sweep**
+   (it predates them): x_quality_gopher, x_domain_mix, x_eval_split,
+   x_sample_stratified, x_shard_balance, x_minhash_jaccard_est.
+
+The token pool is deliberately hostile-but-cross-engine-agreed (the r12
+scalar-fn convention): multibyte UTF-8, combining characters, digits,
+punctuation-glued tokens, and the empty token produced by doubled spaces
+(both engines' split keeps empties) — but no locale-sensitive case
+mappings (lower() on dotted/dotless I diverges by ICU build, adjudicated
+out of contract in the r12 scalar-fn fuzz).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from .test_round10_properties import _DOCS_QUERIES, _oracle_parity
+
+#: the r10 list + the six r11 documents-only queries it predates
+_ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
+    "x_quality_gopher",
+    "x_domain_mix",
+    "x_eval_split",
+    "x_sample_stratified",
+    "x_shard_balance",
+    "x_minhash_jaccard_est",
+)
+
+# -- corpus generator --------------------------------------------------------
+
+#: hostile-but-agreed token zoo; "" never appears alone (that's the
+#: empty-text case below) but doubled separators manufacture empty tokens
+_TOKENS = [
+    "alpha", "beta", "gamma",            # tiny vocab → dense dup space
+    "42", "3.14",                        # digits
+    "word,", "end.", "bang!",            # punctuation-glued
+    "héllo", "naïve",                    # latin-1 multibyte
+    "日本語", "データ",                   # CJK multibyte
+    "é", "å",                # combining accents (NFD)
+    "x" * 64,                            # long token
+]
+
+_TEXT = st.one_of(
+    st.none(),                                        # NULL text
+    st.just(""),                                      # empty text
+    st.just(" "),                                     # lone separator
+    st.just("  "),                                    # doubled separator
+    st.lists(st.sampled_from(_TOKENS), min_size=1, max_size=10).map(
+        " ".join
+    ),
+    # doubled-space join: split() yields empty tokens on BOTH engines
+    st.lists(st.sampled_from(_TOKENS[:4]), min_size=2, max_size=5).map(
+        "  ".join
+    ),
+)
+
+#: mostly small ids (dense residue classes for the %-keyed queries) plus
+#: hostile outliers: negatives (Spark and DuckDB both use C-style sign-of-
+#: dividend %), the x_decontaminate bench-slice boundary (doc_id < 1000000),
+#: and a 40-bit id (md5-split and shard-modulo stability at scale)
+_DOC_IDS = list(range(12)) + [-1, -20, 999990, 1000000, 2**40]
+
+_DOCS = st.lists(
+    st.tuples(
+        st.sampled_from(_DOC_IDS),                    # doc_id (unique)
+        _TEXT,
+        st.sampled_from([None, "en", "es", "zh"]),    # NULL lang groups
+        st.sampled_from([None, "src0", "src1"]),      # NULL source blocks
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+def _write_documents_nullable(spark, d: str, docs) -> None:
+    """Like the r10 writer but NULL-tolerant: n_chars tracks text (NULL
+    text → NULL n_chars, the shape a corrupt ingest really produces)."""
+    rows = [
+        (i, t, l, s, len(t) if t is not None else None) for i, t, l, s in docs
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_DOCS)
+def test_text_family_matches_oracle_on_hostile_documents(spark, docs):
+    """All 33 documents-only oracle queries replayed against DuckDB on
+    corpora containing NULL text / NULL lang / NULL source, empty and
+    separator-only strings, empty tokens from doubled spaces, multibyte
+    and combining-character tokens, and dense duplicate space."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="rhds_docs_hostile_")
+    try:
+        _write_documents_nullable(spark, d, docs)
+        _oracle_parity(spark, d, _ALL_DOCS_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# -- pinned worst case: every hostile shape in ONE corpus --------------------
+
+_PINNED = [
+    (0, None, None, None),                       # fully NULL row
+    (1, "", "en", "src0"),                       # empty text
+    (2, " ", None, "src0"),                      # separator only
+    (3, "  ", "es", None),                       # two empty tokens
+    (4, "alpha  beta", "en", "src0"),            # interior empty token
+    (5, "alpha beta gamma alpha beta gamma", "en", "src0"),
+    (6, "alpha beta gamma alpha beta gamma", "en", "src1"),  # exact dup
+    (7, "héllo naïve 日本語 データ é", "zh", "src1"),
+    (8, "42 3.14 word, end. bang!", None, None),
+    (9, "x" * 64, "en", "src1"),                 # one long token
+]
+
+
+def test_text_family_on_pinned_hostile_corpus(spark, tmp_path):
+    """Deterministic replay of the full hostile shape set — keeps the
+    class closed without depending on hypothesis search luck (the
+    r13 zero-denominator-test convention)."""
+    d = str(tmp_path)
+    _write_documents_nullable(spark, d, _PINNED)
+    _oracle_parity(spark, d, _ALL_DOCS_QUERIES)
