@@ -149,11 +149,21 @@ def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide: a zero-range corpus (every element identical) has no
     # grid — NULL quotient, and least() skips NULLs to the 255 clamp on
     # BOTH engines, instead of ANSI-aborting the job (r12 embeddings
-    # fuzz; the perdim variant gained the same guard in r10)
+    # fuzz; the perdim variant gained the same guard in r10).
+    # nanvl (r13 embeddings fuzz): a NaN quotient (NaN component, or a
+    # NaN/±Inf-poisoned grid) must not reach Spark's floor — floor casts
+    # double→long with Java semantics, turning NaN into code 0, while
+    # DuckDB's FLOOR keeps NaN and its NaN-is-greatest LEAST clamps to
+    # 255. NaN→NULL routes both engines to the same 255 clamp.
     codes = F.transform(
         "embedding",
         lambda v: F.least(
-            F.floor(F.try_divide(v.cast("double") - mn, mx - mn) * 256),
+            F.floor(
+                F.nanvl(
+                    F.try_divide(v.cast("double") - mn, mx - mn) * 256,
+                    F.lit(None).cast("double"),
+                )
+            ),
             F.lit(255),
         ).cast("int"),
     )
@@ -219,10 +229,18 @@ def x_embed_quantize_perdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # try_divide: a zero-range dimension (constant column, or a 1-row
     # corpus) yields NULL, and least() skips nulls on BOTH engines, so the
     # degenerate code lands on 255 exactly like the oracle's x/0→NULL →
-    # LEAST(NULL, 255); plain `/` raises DIVIDE_BY_ZERO under ANSI
+    # LEAST(NULL, 255); plain `/` raises DIVIDE_BY_ZERO under ANSI.
+    # nanvl (r13 embeddings fuzz): same NaN routing as x_embed_quantize —
+    # Spark's floor Java-casts NaN to 0 where DuckDB's LEAST clamps NaN
+    # to 255; NaN→NULL lands both on the 255 clamp, and a NaN component
+    # only poisons its own dimension's codes, not the whole vector.
     code = F.least(
         F.floor(
-            F.try_divide(F.col("x") - F.col("mn"), F.col("mx") - F.col("mn")) * 256
+            F.nanvl(
+                F.try_divide(F.col("x") - F.col("mn"), F.col("mx") - F.col("mn"))
+                * 256,
+                F.lit(None).cast("double"),
+            )
         ),
         F.lit(255),
     ).cast("int")

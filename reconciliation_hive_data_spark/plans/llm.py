@@ -498,8 +498,11 @@ SELECT vec_a, vec_b, label, ROUND(cos_raw, 6) AS cos_sim FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_raw
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-) WHERE cos_raw >= 0.999
+) WHERE cos_raw >= 0.999 AND NOT isnan(cos_raw)
 """
+# ^ NOT isnan (r13 embeddings fuzz): DuckDB's NaN-is-greatest made a
+# NaN cosine (NaN-component vector) satisfy >= 0.999; NaN means
+# "incomparable" here, the same verdict as the zero-norm NULL.
 
 
 #: Bucket width for the first-coordinate blocking key: cos ≥ 0.999 ⟹
@@ -578,7 +581,17 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & coord_bound
         )
         .withColumn("cos_sim_raw", cos)
-        .filter(F.col("cos_sim_raw") >= 0.999)
+        # NaN exclusion (r13 embeddings fuzz): a NaN-component vector has a
+        # NaN norm and NaN cosine — "incomparable", same verdict as the
+        # r12 zero-norm NULL. Without the guard each engine's NaN-is-
+        # greatest comparison admits a different pair subset: Spark's
+        # coord_bound drops NaN pairs (NaN <= W is false) but a pair of
+        # Inf vectors (finite c0, NaN cosine) would pass `>= 0.999` here,
+        # while the oracle's all-pairs spelling admits every NaN pair.
+        # Both sides now exclude NaN cosines explicitly.
+        .filter(
+            (~F.isnan(F.col("cos_sim_raw"))) & (F.col("cos_sim_raw") >= 0.999)
+        )
         .select(
             "vec_a", "vec_b", "label", F.round("cos_sim_raw", 6).alias("cos_sim")
         )
@@ -655,9 +668,14 @@ def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted-file structure at scale is a partition-pruned read on
     bucket. Deterministic ⇒ fully oracle-checked (unlike MLlib LSH)."""
     e = load(spark, sf_dir, "embeddings")
+    # get(), not embedding[i-1] (r13 embeddings fuzz): a truncated or
+    # empty vector made the ordinal access ABORT the whole job with
+    # INVALID_ARRAY_INDEX — one corrupt row killing a 100 TB scan. get()
+    # returns NULL out of bounds; NULL > 0 is false, so missing dims
+    # contribute sign-bit 0, same as the oracle's NULL-yielding b[i].
     sig = F.aggregate(
         F.expr(
-            "transform(sequence(1, 8), i -> CASE WHEN CAST(embedding[i-1] AS DOUBLE) > 0"
+            "transform(sequence(1, 8), i -> CASE WHEN CAST(get(embedding, i-1) AS DOUBLE) > 0"
             " THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT)"
             " ELSE CAST(0 AS BIGINT) END)"
         ),

@@ -115,12 +115,11 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # matching DuckDB's x/0 convention (NULL falls out of the >= filters
     # and both engines' null-skipping least()). Fixture has no degenerate
     # vectors → results identical there; fronted per the rewrite rule.
-    "x_dedup_embed": 12,
+    # (x_dedup_embed / x_embed_quantize / x_sim_ivf r12 try_divide entries
+    # superseded by the r13 entries below — single entry at max round)
     "x_sim_search": 12,
-    "x_sim_ivf": 12,
     "x_sim_pairs": 12,
     "x_knn_graph": 12,
-    "x_embed_quantize": 12,
     # r12 scalar-function fuzz: (a) parse_url ABORTED the job on one
     # RFC-invalid URL and parse_json/variant_get on one malformed or
     # non-castable props value — all now try_* → NULL per row; (b)
@@ -170,6 +169,22 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # fingerprints before the join. Fixture has no NULL text → identical
     # there; fronted per the rewrite rule.
     "x_dedup_incremental": 13,
+    # r13 embeddings fuzz (NaN/±Inf components): (a) x_dedup_embed — each
+    # engine's NaN-is-greatest comparison admitted a DIFFERENT NaN-cosine
+    # pair subset; both sides now exclude NaN cosines ("incomparable",
+    # the zero-norm verdict). (b) the two quantizers — Spark's floor
+    # Java-casts NaN to code 0 where DuckDB's LEAST clamps NaN to 255;
+    # NaN now routes through nanvl→NULL to the shared 255 clamp. Fixture
+    # has no NaN/Inf → identical there; fronted per the rewrite rule.
+    "x_dedup_embed": 13,
+    "x_embed_quantize": 13,
+    "x_embed_quantize_perdim": 13,
+    # r13 embeddings fuzz, robustness domain: an empty or truncated vector
+    # ABORTED x_sim_ivf's ordinal embedding[i-1] access with
+    # INVALID_ARRAY_INDEX; get() now yields NULL for missing dims (sign
+    # bit 0, the oracle's convention). Fixture is uniformly dim-64 →
+    # identical there; fronted per the rewrite rule.
+    "x_sim_ivf": 13,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
