@@ -580,18 +580,21 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vec_a") < F.col("vec_b"))
             & coord_bound
         )
-        .withColumn("cos_sim_raw", cos)
         # NaN exclusion (r13 embeddings fuzz): a NaN-component vector has a
         # NaN norm and NaN cosine — "incomparable", same verdict as the
         # r12 zero-norm NULL. Without the guard each engine's NaN-is-
         # greatest comparison admits a different pair subset: Spark's
         # coord_bound drops NaN pairs (NaN <= W is false) but a pair of
-        # Inf vectors (finite c0, NaN cosine) would pass `>= 0.999` here,
+        # Inf vectors (finite c0, NaN cosine) would pass `>= 0.999`,
         # while the oracle's all-pairs spelling admits every NaN pair.
-        # Both sides now exclude NaN cosines explicitly.
-        .filter(
-            (~F.isnan(F.col("cos_sim_raw"))) & (F.col("cos_sim_raw") >= 0.999)
+        # nanvl→NULL (not a ~isnan conjunct): NULL falls out of `>=` with
+        # the SAME verdict, and the single predicate keeps the 64-element
+        # dot fold evaluated ONCE per candidate pair — the two-conjunct
+        # spelling inlined the fold twice and measured 0.55 → 1.6 s.
+        .withColumn(
+            "cos_sim_raw", F.nanvl(cos, F.lit(None).cast("double"))
         )
+        .filter(F.col("cos_sim_raw") >= 0.999)
         .select(
             "vec_a", "vec_b", "label", F.round("cos_sim_raw", 6).alias("cos_sim")
         )
