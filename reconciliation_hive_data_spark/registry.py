@@ -185,6 +185,14 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # bit 0, the oracle's convention). Fixture is uniformly dim-64 →
     # identical there; fronted per the rewrite rule.
     "x_sim_ivf": 13,
+    # r13 CSV content fuzz: the default CSV writer/reader options silently
+    # corrupted hostile-but-legal strings on the round trip (an embedded
+    # newline split a row into a truncated row + a phantom NULL-keyed row;
+    # '' came back NULL; padding was trimmed ON WRITE). sink_csv now
+    # carries the hardened option set (multiLine read, whitespace
+    # preservation, \N null sentinel). Fixture props are newline-free
+    # single-line JSON → results identical there; fronted per the rule.
+    "sink_csv": 13,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -84,6 +84,10 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     csv_dir = _sink_dir(sf_dir, "nation_csv")
     json_dir = _sink_dir(sf_dir, "nation_json")
+    # Default CSV options adjudicated fine HERE (r13 CSV content fuzz):
+    # nation names are [A-Z ]+ with no newlines/padding/empties, so none
+    # of the default round-trip infidelities can fire. sink_csv carries
+    # the hardened option set for arbitrary string content.
     n.write.mode("overwrite").option("header", True).csv(csv_dir)
     n.write.mode("overwrite").json(json_dir)
     schema = "n_nationkey int, n_name string, n_regionkey int"
@@ -231,10 +235,40 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", "props"
     )
-    ev.write.mode("overwrite").option("header", True).csv(out)
-    back = spark.read.schema(
-        "event_id bigint, event_type string, value double, props string"
-    ).option("header", True).csv(out)
+    # Hardened option set (r13 CSV content fuzz). The defaults silently
+    # CORRUPT hostile-but-legal string content on the round trip:
+    # an embedded newline split one row into a real row plus a phantom
+    # null-keyed row (poisoning aggregates, not just that row), '' came
+    # back as NULL, and leading/trailing spaces were trimmed ON WRITE.
+    # Fixes: multiLine read (quoted newlines re-join; the sink controls
+    # file count so cross-FILE parallelism survives at 100 TB even though
+    # a multiLine file is not internally splittable), whitespace
+    # preservation on both hops, and the Hive-standard \N sentinel so
+    # NULL and '' stay distinct. Irreducible residue, verified against
+    # every Spark option combination (quoteAll included): a field whose
+    # entire content is the literal two characters \N reads back as NULL
+    # — the sentinel collision every text serde shares; documents, not
+    # data loss, since ingest contracts reserve the marker.
+    (
+        ev.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "event_id bigint, event_type string, value double, props string"
+        )
+        .option("header", True)
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(out)
+    )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),

@@ -1,0 +1,132 @@
+"""Round-13 CSV content fuzz: sink_csv's writer/reader option set must
+round-trip ARBITRARY string content exactly — the metamorphic identity the
+oracle-parity check cannot see (the fixture's props JSON never carries raw
+newlines, padding, or empty strings, so the default options passed every
+driver row while silently corrupting hostile-but-legal content).
+
+What the DEFAULT options did to these shapes (probed on Spark 4.1, which
+motivated the r13 hardening in sources/files.py):
+
+- an embedded ``\\n`` split one logical row into a truncated real row PLUS
+  a phantom row with a NULL key — corrupting downstream aggregates, not
+  just the one row;
+- ``''`` came back as NULL (empty/NULL conflation);
+- leading/trailing spaces were trimmed ON WRITE (writer
+  ignoreLeading/TrailingWhiteSpace default true).
+
+Documented irreducible residue: a field whose entire content is the
+literal two characters ``\\N`` reads back as NULL — the Hive-standard
+sentinel collision; verified irreducible against every writer/reader
+option combination including quoteAll (a quoted ``"\\N"`` still parses as
+the sentinel).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+#: the exact option sets sink_csv uses (sources/files.py) — kept in one
+#: place here so a drift in the query is a test failure, not a silent gap
+_WRITE_OPTS = {
+    "header": True,
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+    "nullValue": "\\N",
+}
+_READ_OPTS = {
+    "header": True,
+    "multiLine": True,
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+    "nullValue": "\\N",
+    "emptyValue": "",
+}
+
+
+def _roundtrip(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, props string"
+    )
+    d = tempfile.mkdtemp(prefix="rhds_csv_rt_") + "/out"
+    w = df.coalesce(1).write.mode("overwrite")
+    for k, v in _WRITE_OPTS.items():
+        w = w.option(k, v)
+    w.csv(d)
+    r = spark.read.schema(
+        "event_id bigint, event_type string, value double, props string"
+    )
+    for k, v in _READ_OPTS.items():
+        r = r.option(k, v)
+    return df, r.csv(d)
+
+
+_PINNED_ROWS = [
+    (1, "plain", 1.5, '{"k": 5}'),
+    (2, "comma", 0.0, "a,b"),
+    (3, "quote", -1.25, 'say "hi"'),
+    (4, "newline", 2.0, "line1\nline2"),
+    (5, "crlf", 2.0, "a\r\nb"),
+    (6, "empty", 3.0, ""),
+    (7, "null", 3.0, None),
+    (8, "unicode", 4.0, "héllo 日本語 データ"),
+    (9, "padding", 5.0, "  padded  "),
+    (10, "tab", 6.0, "a\tb"),
+    (11, "backslash", 7.0, "c:\\path\\n"),
+    (12, "quote_comma_nl", 8.0, 'a,"b"\nc'),
+]
+
+
+def test_sink_csv_options_roundtrip_hostile_content_exactly(spark):
+    orig, back = _roundtrip(spark, _PINNED_ROWS)
+    o = {r.event_id: (r.event_type, r.value, r.props) for r in orig.collect()}
+    g = {r.event_id: (r.event_type, r.value, r.props) for r in back.collect()}
+    assert o == g, {k: (o.get(k), g.get(k)) for k in set(o) | set(g)
+                    if o.get(k) != g.get(k)}
+
+
+def test_sink_csv_null_sentinel_residue_is_exactly_the_documented_one(spark):
+    """The ONLY infidelity is the documented \\N sentinel collision, and it
+    maps to NULL (never to a phantom row or a wrong value)."""
+    orig, back = _roundtrip(spark, [(1, "sentinel", 1.0, "\\N")])
+    rows = back.collect()
+    assert len(rows) == 1 and rows[0].props is None
+
+
+_TOKEN = st.sampled_from(
+    ["a", "b,c", '"q"', "x\ny", " pad ", "日本", "\t", "\\", "{}", ""]
+)
+_PROPS = st.one_of(
+    st.none(),
+    st.lists(_TOKEN, min_size=0, max_size=5).map("".join),
+)
+_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from(["click", "view", ""]),
+        st.sampled_from([0.0, -1.5, 2.25]),
+        _PROPS,
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_ROWS)
+def test_sink_csv_options_roundtrip_fuzzed_content(spark, rows):
+    rows = [r for r in rows if r[3] != "\\N"]  # documented sentinel residue
+    if not rows:
+        rows = [(0, "click", 0.0, "x")]
+    orig, back = _roundtrip(spark, rows)
+    o = {r.event_id: (r.event_type, r.value, r.props) for r in orig.collect()}
+    g = {r.event_id: (r.event_type, r.value, r.props) for r in back.collect()}
+    assert o == g, {k: (o.get(k), g.get(k)) for k in set(o) | set(g)
+                    if o.get(k) != g.get(k)}

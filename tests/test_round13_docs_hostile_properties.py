@@ -72,9 +72,17 @@ _TEXT = st.one_of(
 
 #: mostly small ids (dense residue classes for the %-keyed queries) plus
 #: hostile outliers: negatives (Spark and DuckDB both use C-style sign-of-
-#: dividend %), the x_decontaminate bench-slice boundary (doc_id < 1000000),
-#: and a 40-bit id (md5-split and shard-modulo stability at scale)
-_DOC_IDS = list(range(12)) + [-1, -20, 999990, 1000000, 2**40]
+#: dividend %), ids at the x_decontaminate bench-slice boundary
+#: (doc_id < 1000000) including a %50==0 one that generates a synthetic
+#: dup, and a 40-bit id (md5-split and shard-modulo stability at scale).
+#: doc_id == 1000000 itself is deliberately EXCLUDED: the documents_dup /
+#: delta-CTE convention derives synthetic ids as doc_id + 1000000 on both
+#: engines, and a raw doc AT the offset collides with doc 0's synthetic
+#: twin — two texts conflated under one id, violating the derived tables'
+#: injectivity precondition (the fixture's ids are 0..~60k; this is test
+#: scaffolding contract, not engine behavior — found by this fuzz in the
+#: r13 full-suite run, adjudicated out-of-contract).
+_DOC_IDS = list(range(12)) + [-1, -20, 999950, 999990, 2**40]
 
 _DOCS = st.lists(
     st.tuples(
