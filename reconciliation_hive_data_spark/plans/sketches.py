@@ -458,17 +458,17 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def est(tag: str):
-        # Plain `/` adjudicated safe (r13 division audit): tau is the
-        # MAX of 48-bit md5-prefix hashes — an empty side makes it NULL
-        # (NULL division → NULL, no ANSI abort; verified Spark 4.1), and
-        # tau == 0 requires md5(custkey) to start with 12 zero hex chars
-        # on EVERY sampled key (P ≈ 2^-48 per key) — below the fuzz and
-        # production noise floor, and the estimator itself is ±1/√k
-        # approximate so that tail is immaterial.
-        return (
-            (F.col(f"c_{tag}").cast("double") - 1.0)
-            * float(_KMV_DOMAIN)
-            / F.col(f"tau_{tag}").cast("double")
+        # try_divide, not `/` (ADVICE r13 → r14): md5 is unkeyed, so tau=0
+        # is not probabilistic noise — an adversary can brute-force (~2^48
+        # trials per key) custkeys whose md5 starts with 12 zero hex chars,
+        # and a side containing only such keys makes tau = 0.  Plain ANSI
+        # `/` would abort the whole Spark job on that crafted input while
+        # the DuckDB oracle returns NULL (verified: double/0.0 → NULL in
+        # DuckDB); try_divide converges both engines on NULL.  Empty sides
+        # (tau NULL) were already NULL-safe either way.
+        return F.try_divide(
+            (F.col(f"c_{tag}").cast("double") - 1.0) * float(_KMV_DOMAIN),
+            F.col(f"tau_{tag}").cast("double"),
         )
 
     exact = o.agg(

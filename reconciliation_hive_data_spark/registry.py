@@ -193,6 +193,14 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # preservation, \N null sentinel). Fixture props are newline-free
     # single-line JSON → results identical there; fronted per the rule.
     "sink_csv": 13,
+    # r14 (ADVICE r13): sketch_kmv's estimator kept plain ANSI `/` behind a
+    # probabilistic tau!=0 argument, but md5 is unkeyed — crafted custkeys
+    # whose md5 starts with 12 zero hex chars (~2^48 trials each) can make
+    # tau = 0 and ANSI-abort the job where the DuckDB oracle's x/0 is NULL.
+    # Now F.try_divide, matching the r12/r13 division hardening. Fixture
+    # taus are large positive → results identical there; fronted per the
+    # rewrite rule.
+    "sketch_kmv": 14,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
