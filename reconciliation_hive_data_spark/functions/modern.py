@@ -30,13 +30,45 @@ from ..registry import query
 # fn_variant — VARIANT ingest + typed path extraction
 # ---------------------------------------------------------------------------
 
+# The CASE ladder twins try_variant_get(..., 'bigint') exactly (r14 events
+# fuzz; DuckDB's bare CAST ERRORED on malformed JSON and non-numeric k):
+# integral JSON numbers cast with int64-overflow -> NULL; doubles TRUNCATE
+# toward zero (3.9 -> 3, -3.9 -> -3) with overflow -> NULL; booleans are
+# 1/0; strings cast only when integral text (Spark's string->bigint cast
+# rejects '3.9'/'0x10'/'1e3' where DuckDB's parses them — hence the
+# regex gate; both trim space padding); arrays/objects/null -> NULL.
 _FN_VARIANT_ORACLE = """
+WITH j AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS s,
+         CASE WHEN json_valid(props)
+              THEN json_type(props, '$.k') END AS t
+  FROM events
+),
+k AS (
+  SELECT event_type,
+         CASE
+           WHEN t IN ('BIGINT', 'UBIGINT') THEN TRY_CAST(s AS BIGINT)
+           WHEN t = 'DOUBLE'
+             THEN TRY_CAST(TRUNC(TRY_CAST(s AS DOUBLE)) AS BIGINT)
+           WHEN t = 'BOOLEAN' THEN CASE WHEN s = 'true' THEN 1 ELSE 0 END
+           WHEN t = 'VARCHAR'
+                AND regexp_matches(trim(s), '^[+-]?[0-9]+$')
+             THEN TRY_CAST(s AS BIGINT)
+         END AS k
+  FROM j
+)
 SELECT event_type,
        COUNT(*) AS n,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events
+       -- TRY_CAST twins Spark's try_sum: DuckDB sums BIGINT in HUGEINT
+       -- (never overflows internally) while Spark's ANSI sum aborts at
+       -- int64; both now yield NULL for a group whose true sum exceeds
+       -- int64 (r14 events fuzz, int64-max k values)
+       TRY_CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM k
 GROUP BY event_type
 """
 
@@ -49,7 +81,12 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object re-parsing the string per extraction — fn_map_json);
     at 100 TB the parsed variant also serializes columnar in shuffle
     files. DuckDB twin extracts the same path from the JSON string —
-    identical values, full hash-check."""
+    identical values, full hash-check, including the hostile-props domain
+    (r14 events fuzz): malformed JSON → NULL, typed k values follow the
+    variant cast ladder the oracle comment documents. Duplicate-key
+    objects are OUT of the parity contract — Spark's variant parse
+    REJECTS them (NULL) where every first-wins extractor keeps a value;
+    the fuzz pins no-abort only."""
     ev = load(spark, sf_dir, "events")
     # try_parse_json + try_variant_get, not the strict forms: parse_json
     # ABORTS the job on the first malformed props string and variant_get on
@@ -61,7 +98,10 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum("k").alias("sum_k"),
+            # try_sum: a group of legal int64-scale k values must yield
+            # NULL on sum overflow, not ANSI-abort the job (the oracle's
+            # HUGEINT sum + TRY_CAST lands on the same NULL)
+            F.try_sum("k").alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )

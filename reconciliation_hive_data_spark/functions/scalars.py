@@ -368,25 +368,84 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fn_map_json — JSON extraction from events.props
 # ---------------------------------------------------------------------------
 
+# The oracle twins Spark's two extraction semantics exactly (r14 events
+# fuzz): json_valid guards every path (DuckDB's json_* ERROR on malformed
+# JSON where get_json_object returns NULL), and from_json's k_int is only
+# non-NULL for a literal integral JSON NUMBER fitting int32 (strict JSON
+# typing: "12" / 3.0 / 1e2 / true all -> NULL), which json_type gates.
 _JSON_ORACLE = """
+WITH j AS (
+  SELECT event_id,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS s,
+         CASE WHEN json_valid(props)
+              THEN json_type(props, '$.k') END AS k_type,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.missing') END AS missing_key
+  FROM events
+)
 SELECT event_id,
-       json_extract_string(props, '$.k') AS k_str,
-       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
-       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
-       json_extract_string(props, '$.missing') AS missing_key
-FROM events
+       -- non-integral NUMBERS are carved out of the text column (engines
+       -- re-serialize them differently past ~1e7: Spark '1.0E20' vs
+       -- DuckDB expanded) and surfaced as a bit-exact DOUBLE instead;
+       -- DuckDB types every such token DOUBLE, integral ones (U)BIGINT
+       CASE WHEN k_type IS DISTINCT FROM 'DOUBLE' THEN s END AS k_str,
+       CASE WHEN k_type = 'DOUBLE' THEN TRY_CAST(s AS DOUBLE) END AS k_num,
+       CASE WHEN k_type IN ('BIGINT', 'UBIGINT')
+            THEN TRY_CAST(s AS INT) END AS k_int,
+       CASE WHEN k_type IN ('BIGINT', 'UBIGINT')
+            THEN TRY_CAST(s AS INT) END % 10 AS k_mod,
+       missing_key
+FROM j
 """
 
 
 @query("fn_map_json", oracle=_JSON_ORACLE)
 def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object + from_json over the events.props JSON strings
-    (shape '{"k": 87}' — FIXTURES.md). Missing keys → NULL on both engines."""
+    (shape '{"k": 87}' — FIXTURES.md). Missing keys → NULL on both engines.
+
+    Hostile-props contract (r14 events fuzz): get_json_object is total —
+    malformed JSON, wrong-shape values, and absent keys all yield NULL,
+    never an abort — and the oracle mirrors it behind json_valid.
+    from_json applies STRICT JSON typing: k_int is non-NULL only for a
+    literal integral JSON number that fits int32 (a quoted "12", 3.0,
+    1e2, true, or an int32-overflowing literal are all NULL), which the
+    oracle reproduces by gating on json_type BIGINT/UBIGINT + TRY_CAST.
+
+    k_str carries the extracted text EXCEPT for non-integral JSON numbers:
+    past ~1e7 the engines re-serialize those differently (Spark '1.0E20',
+    DuckDB expanded digits), so they surface as the bit-exact DOUBLE k_num
+    instead — the repo's standard answer to float-formatting divergence
+    (canonical.py §2). The carve gate is engine-twinned: DuckDB types
+    every non-integral number DOUBLE; Spark detects them as a variant
+    typed DOUBLE (exponent tokens) or DECIMAL (decimal-point tokens) whose
+    TEXT contains [.eE] — the text check keeps uint64-range integer
+    literals (variant DECIMAL(20,0), DuckDB UBIGINT) in k_str.
+
+    OUT of the parity contract (parser-model forks with no oracle
+    convention; no-abort still pinned by the fuzz): duplicate-key objects
+    (get_json_object keeps the first, from_json's streaming parse the
+    last, RFC 8259 shrugs), non-standard NaN/Infinity tokens (DuckDB's
+    yyjson accepts, Jackson rejects the whole document), and integer
+    literals beyond uint64 (DuckDB demotes to DOUBLE, Spark keeps exact
+    DECIMAL)."""
     e = load(spark, sf_dir, "events")
     k_int = F.from_json("props", "k INT").getField("k")
+    gjo = F.get_json_object("props", "$.k")
+    vtype = F.schema_of_variant(
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "variant")
+    )
+    is_nonint_num = (
+        (vtype == "DOUBLE") | vtype.startswith("DECIMAL")
+    ) & gjo.rlike("[.eE]")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
+        F.when(is_nonint_num, F.lit(None).cast("string"))
+        .otherwise(gjo)
+        .alias("k_str"),
+        F.when(is_nonint_num, F.expr("try_cast(get_json_object(props, '$.k') AS double)"))
+        .alias("k_num"),
         k_int.alias("k_int"),
         (k_int % 10).alias("k_mod"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
@@ -442,7 +501,15 @@ SELECT event_id,
        CAST(user_id & 255 AS BIGINT) AS band,
        CAST(event_id | 15 AS BIGINT) AS flags,
        CAST(xor(event_id, user_id) AS BIGINT) AS toggled,
-       CAST((user_id << 8) | (event_id >> 4) AS BIGINT) AS packed,
+       -- two's-complement user_id << 8 spelled in HUGEINT: DuckDB's native
+       -- << ERRORS on any negative operand and on overflow, while Spark's
+       -- shiftleft wraps (Java semantics); ((x*256 + 2^63) mod 2^64) - 2^63
+       -- with a nonneg mod IS the Java wrap, total over the int64 line
+       -- (r14 events fuzz; verified exact incl. int64 min/max and NULL)
+       CAST(CAST((((CAST(user_id AS HUGEINT) * 256 + 9223372036854775808)
+                     % 18446744073709551616 + 18446744073709551616)
+                    % 18446744073709551616 - 9223372036854775808) AS BIGINT)
+            | (event_id >> 4) AS BIGINT) AS packed,
        CAST(bit_count(event_id) AS INT) AS popcnt,
        CAST(~user_id AS BIGINT) AS inverted
 FROM events
@@ -454,11 +521,12 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-manipulation family (AND/OR/XOR/shift/popcount/NOT) over int64
     keys — the primitives behind hash partitioning, bitmap flags, and key
     packing. All two's-complement int64 ops, bit-identical on both engines
-    while ``user_id << 8`` stays inside int64 (user_id < 2^55). Past that
-    the engines genuinely diverge — Spark's shiftleft wraps
-    two's-complement, DuckDB's ``<<`` ERRORS on overflow (probed r12) —
-    so overflow inputs sit in the fuzz's robustness domain (Spark-only
-    no-abort), not the parity domain."""
+    over the WHOLE int64 line: DuckDB's native ``<<`` errors on negative
+    operands and on overflow where Spark's shiftleft wraps (Java
+    semantics), so the oracle spells the shift as HUGEINT modular
+    arithmetic — ((x*256 + 2^63) mod 2^64) - 2^63 — which IS the Java
+    wrap (r14 events fuzz closed the former robustness-domain carve-out;
+    verified exact incl. int64 min/max)."""
     e = load(spark, sf_dir, "events")
     eid, uid = F.col("event_id"), F.col("user_id")
     return e.select(

@@ -609,7 +609,7 @@ WITH c AS (
 r AS (
   SELECT event_type, user_id, n,
          row_number() OVER (PARTITION BY event_type
-                            ORDER BY n DESC, user_id) AS rnk
+                            ORDER BY n DESC, user_id NULLS LAST) AS rnk
   FROM c
 )
 SELECT event_type,
@@ -624,15 +624,20 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical mode (most frequent value) per group with a pinned tie
     rule: native mode() picks an arbitrary winner among equal counts on
     both engines, so the canonical form is count → rank by (count DESC,
-    value ASC) → keep rank 1 — deterministic everywhere, and the rank
-    window runs over the already-aggregated count table (distinct-pair
-    sized, ≪ data)."""
+    value ASC NULLS LAST) → keep rank 1 — deterministic everywhere, and
+    the rank window runs over the already-aggregated count table
+    (distinct-pair sized, ≪ data). NULLS LAST is load-bearing (r14 events
+    fuzz): the engines' bare-ASC defaults are OPPOSITE (Spark nulls first,
+    DuckDB nulls last), so a NULL-keyed tie elected a different winner per
+    engine; a group whose every key is NULL still yields NULL on both."""
     c = (
         load(spark, sf_dir, "events")
         .groupBy("event_type", "user_id")
         .agg(F.count("*").alias("n"))
     )
-    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc_nulls_last()
+    )
     return (
         c.withColumn("rnk", F.row_number().over(w))
         .filter("rnk = 1")

@@ -506,7 +506,11 @@ z AS (
   FROM ranked
 ),
 f AS (
-  SELECT *, ntile(16) OVER (ORDER BY zval, event_id) AS file_id FROM z
+  -- NULLS LAST pinned (r14 events fuzz): a NULL user_id makes zval NULL
+  -- and the engines' bare-ASC defaults are opposite, shifting every
+  -- file assignment by the NULL-row count
+  SELECT *, ntile(16) OVER (ORDER BY zval NULLS LAST, event_id) AS file_id
+  FROM z
 )
 SELECT CAST(file_id AS BIGINT) AS file_id, COUNT(*) AS n_rows,
        MIN(ux) AS min_u, MAX(ux) AS max_u,
@@ -552,7 +556,7 @@ def x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         zbits = term if zbits is None else zbits + term
     z = ranked.withColumn("zval", zbits.cast("bigint"))
-    w = Window.orderBy("zval", "event_id")
+    w = Window.orderBy(F.col("zval").asc_nulls_last(), "event_id")
     f = z.withColumn("file_id", F.ntile(16).over(w).cast("bigint"))
     return f.groupBy("file_id").agg(
         F.count("*").alias("n_rows"),

@@ -192,7 +192,29 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # carries the hardened option set (multiLine read, whitespace
     # preservation, \N null sentinel). Fixture props are newline-free
     # single-line JSON → results identical there; fronted per the rule.
-    "sink_csv": 13,
+    # (r13 entry superseded by the r14 one below — single entry at max
+    # round, the x_dedup_clusters convention.)
+    # r14 events fuzz (VERDICT r13 item 3) — five plan rewrites, all
+    # fixture-identical (fixture events have dense non-negative ids,
+    # well-formed '{"k": n}' props, no NULL keys), fronted per the rule:
+    # - agg_mode / x_zorder: NULLS LAST pinned in the rank/ntile windows
+    #   (engines' bare-ASC NULL defaults are opposite; a NULL-keyed tie
+    #   elected a different modal winner / shifted every file assignment).
+    # - s_checkpoint_resume: the two staging filters now PARTITION the
+    #   table (pmod + complement-keeps-NULL); C-style `% 2 == 0/1` dropped
+    #   negative- and NULL-id rows from BOTH batches.
+    # - fn_map_json: non-integral-number k carved from k_str into a
+    #   bit-exact DOUBLE k_num (engines re-serialize 1e20 differently);
+    #   schema gained a column.
+    # - sink_csv / fn_variant: try_cast/try_sum on the extracted k — a
+    #   '{"k": "abc"}' row ANSI-aborted the sink job, and an int64-max k
+    #   ANSI-aborted SUM where DuckDB's HUGEINT-internal sum succeeds.
+    "agg_mode": 14,
+    "x_zorder": 14,
+    "s_checkpoint_resume": 14,
+    "fn_map_json": 14,
+    "fn_variant": 14,
+    "sink_csv": 14,
     # r14 (ADVICE r13): sketch_kmv's estimator kept plain ANSI `/` behind a
     # probabilistic tau!=0 argument, but md5 is unkeyed — crafted custkeys
     # whose md5 starts with 12 zero hex chars (~2^48 trials each) can make

@@ -215,7 +215,18 @@ _SINK_CSV_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       -- twins try_cast(get_json_object(..)) (r14 events fuzz): total over
+       -- malformed JSON (json_valid guard) and non-integral k ('3.9' /
+       -- 'true' / '[1,2]' / '0x10' fail the integral-text gate exactly
+       -- where Spark's try_cast yields NULL; DuckDB's bare CAST would
+       -- ERROR or parse hex/exponent/decimal text)
+       -- outer TRY_CAST twins Spark's try_sum (sum overflow -> NULL, not
+       -- an ANSI abort; DuckDB's HUGEINT-internal sum never aborts)
+       TRY_CAST(SUM(CASE WHEN json_valid(props) AND regexp_matches(
+                       trim(json_extract_string(props, '$.k')),
+                       '^[+-]?[0-9]+$')
+                     THEN TRY_CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) END) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -272,7 +283,10 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
-        F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+        # try_cast, not cast (r14 events fuzz): a props value whose k is a
+        # non-numeric string ('{"k": "abc"}') ANSI-aborted the whole round
+        # trip; one dirty row must degrade to NULL, not kill the sink job
+        F.try_sum(F.expr("try_cast(get_json_object(props, '$.k') AS bigint)"))
         .cast("bigint")
         .alias("sum_k"),
     )

@@ -623,7 +623,12 @@ def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
 
     ev = load(spark, sf_dir, "events")
-    ev.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/batch1")
+    # the two staging filters must PARTITION the table (r14 events fuzz):
+    # C-style `% 2` is -1 for negative ids and NULL for NULL ids, so the
+    # old `== 0` / `== 1` pair silently dropped those rows from BOTH
+    # batches; pmod is nonnegative and the complement keeps NULL ids
+    even = F.pmod(F.col("event_id"), 2) == 0
+    ev.filter(even).write.parquet(f"{src}/batch1")
     # parquet ts is already µs-normalized by catalog.load ⇒ plain ts schema
     stream = (
         spark.readStream.schema(_EVENTS_TS_SCHEMA)
@@ -645,7 +650,7 @@ def s_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
 
     run_once()
-    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/batch2")
+    ev.filter(~even | even.isNull()).write.parquet(f"{src}/batch2")
     run_once()
     return (
         spark.read.schema(_EVENTS_TS_SCHEMA)
