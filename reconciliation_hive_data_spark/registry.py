@@ -215,6 +215,13 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "fn_map_json": 14,
     "fn_variant": 14,
     "sink_csv": 14,
+    # r14 JSON-ingest fuzz (VERDICT r13 item 4): scan_csv_json's CSV hop
+    # now carries sink_csv's hardened option set so the ingest operator
+    # round-trips arbitrary string content (the r13 "defaults fine for
+    # [A-Z ]+ names" adjudication limited robustness to fixture content);
+    # the JSON hop needed nothing — probed exact on every hostile shape.
+    # Fixture-identical; fronted per the rewrite rule.
+    "scan_csv_json": 14,
     # r14 (ADVICE r13): sketch_kmv's estimator kept plain ANSI `/` behind a
     # probabilistic tau!=0 argument, but md5 is unkeyed — crafted custkeys
     # whose md5 starts with 12 zero hex chars (~2^48 trials each) can make

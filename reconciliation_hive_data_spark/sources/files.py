@@ -80,18 +80,44 @@ def scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     text formats, read back with `spark.read.schema(...)`, and join the two
     read-backs — proving schema-applied text ingest round-trips. The temp
     files are invisible to the oracle, but the round-trip RESULT is exactly
-    the nation table — so the check is full-oracle anyway."""
+    the nation table — so the check is full-oracle anyway.
+
+    Content contract (r14 JSON-ingest fuzz): both hops round-trip
+    arbitrary string content — the CSV hop via sink_csv's hardened option
+    set (with the same documented \\N-sentinel residue), the JSON hop by
+    format construction (JSON-lines escapes newlines/controls/unicode;
+    null fields are omitted on write and read back as NULL under the
+    explicit schema)."""
     n = load(spark, sf_dir, "nation")
     csv_dir = _sink_dir(sf_dir, "nation_csv")
     json_dir = _sink_dir(sf_dir, "nation_json")
-    # Default CSV options adjudicated fine HERE (r13 CSV content fuzz):
-    # nation names are [A-Z ]+ with no newlines/padding/empties, so none
-    # of the default round-trip infidelities can fire. sink_csv carries
-    # the hardened option set for arbitrary string content.
-    n.write.mode("overwrite").option("header", True).csv(csv_dir)
+    # The CSV hop carries sink_csv's hardened option set (r14 JSON-ingest
+    # fuzz; supersedes the r13 "defaults fine for [A-Z ]+ names"
+    # adjudication): the INGEST operator should round-trip arbitrary
+    # string content, not just the fixture's, so hostile names (newlines,
+    # padding, '') survive both text hops identically. The JSON hop needs
+    # no options — JSON-lines escapes everything (probed r14: newlines,
+    # NUL bytes, U+2028/9, embedded JSON, 5 KB strings all exact).
+    (
+        n.write.mode("overwrite")
+        .option("header", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .csv(csv_dir)
+    )
     n.write.mode("overwrite").json(json_dir)
     schema = "n_nationkey int, n_name string, n_regionkey int"
-    c = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    c = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(csv_dir)
+    )
     j = spark.read.schema(schema).json(json_dir).select(
         F.col("n_nationkey").alias("jk"), F.col("n_name").alias("j_name")
     )
