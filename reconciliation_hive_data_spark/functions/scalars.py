@@ -418,10 +418,12 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB expanded digits), so they surface as the bit-exact DOUBLE k_num
     instead — the repo's standard answer to float-formatting divergence
     (canonical.py §2). The carve gate is engine-twinned: DuckDB types
-    every non-integral number DOUBLE; Spark detects them as a variant
-    typed DOUBLE (exponent tokens) or DECIMAL (decimal-point tokens) whose
-    TEXT contains [.eE] — the text check keeps uint64-range integer
-    literals (variant DECIMAL(20,0), DuckDB UBIGINT) in k_str.
+    every non-integral number DOUBLE; Spark detects them as "from_json's
+    STRICT k DOUBLE parses it AND the extracted text contains [.eE]" —
+    strict typing rejects string-typed '"3.9"' (stays text), and the
+    [.eE] check keeps integer literals of every size in k_str (a second
+    from_json reuses the Jackson parse path; measurably cheaper than a
+    per-row variant construction, and k_num IS the parsed double).
 
     OUT of the parity contract (parser-model forks with no oracle
     convention; no-abort still pinned by the fuzz): duplicate-key objects
@@ -432,20 +434,15 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL)."""
     e = load(spark, sf_dir, "events")
     k_int = F.from_json("props", "k INT").getField("k")
+    k_dbl = F.from_json("props", "k DOUBLE").getField("k")
     gjo = F.get_json_object("props", "$.k")
-    vtype = F.schema_of_variant(
-        F.try_variant_get(F.try_parse_json("props"), "$.k", "variant")
-    )
-    is_nonint_num = (
-        (vtype == "DOUBLE") | vtype.startswith("DECIMAL")
-    ) & gjo.rlike("[.eE]")
+    is_nonint_num = k_dbl.isNotNull() & gjo.rlike("[.eE]")
     return e.select(
         "event_id",
         F.when(is_nonint_num, F.lit(None).cast("string"))
         .otherwise(gjo)
         .alias("k_str"),
-        F.when(is_nonint_num, F.expr("try_cast(get_json_object(props, '$.k') AS double)"))
-        .alias("k_num"),
+        F.when(is_nonint_num, k_dbl).alias("k_num"),
         k_int.alias("k_int"),
         (k_int % 10).alias("k_mod"),
         F.get_json_object("props", "$.missing").alias("missing_key"),
