@@ -286,7 +286,12 @@ SELECT o_orderkey, o_orderstatus,
        ROUND(percent_rank() OVER w, 6) AS pct_rank,
        ROUND(cume_dist() OVER w, 6) AS cume
 FROM orders
-WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+-- NULLS LAST pinned (r14 ASC-null-order audit): the engines' bare-ASC
+-- defaults are OPPOSITE (Spark nulls first, DuckDB nulls last), so one
+-- NULL-priced order would shift every quartile/pct_rank/cume in its
+-- status partition
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice NULLS LAST, o_orderkey)
 """
 
 
@@ -297,8 +302,13 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_totalprice, o_orderkey) ordering is total, so bucket boundaries and
     ranks are deterministic; the ratios are single int/int divisions —
     bit-identical cross-engine. ntile's extra-row rule (earlier buckets get
-    the remainder) is the SQL-standard one on both engines."""
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    the remainder) is the SQL-standard one on both engines. NULLS LAST on
+    the price is load-bearing (r14 ASC-null-order audit): this was the one
+    window in §2e ordering ASC on a NULLABLE column, and the engines'
+    bare-ASC NULL defaults are opposite."""
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     return load(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",

@@ -382,14 +382,20 @@ def _kmv_est_sql(cnt: str, tau: str) -> str:
     return f"(CAST({cnt} AS DOUBLE) - 1.0) * {_KMV_DOMAIN} / CAST({tau} AS DOUBLE)"
 
 
+# NULL custkeys are excluded from the key-set universe everywhere
+# (r14 ASC-null-order audit): a NULL key hashes to NULL, and the
+# engines' ASC defaults put it at OPPOSITE ends of the k-smallest sort
+# (Spark first — displacing a real hash from the sketch — DuckDB last);
+# a KMV sketch is defined over keys, and NULL is not a key, exactly as
+# COUNT(DISTINCT) already treats it in the exact calibration columns.
 _KMV_ORACLE = f"""
 WITH a AS (
   SELECT DISTINCT {_kmv_hash_sql('o_custkey')} AS h
-  FROM orders WHERE o_orderstatus = 'O'
+  FROM orders WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
 ),
 b AS (
   SELECT DISTINCT {_kmv_hash_sql('o_custkey')} AS h
-  FROM orders WHERE o_orderstatus = 'F'
+  FROM orders WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
 ),
 u AS (SELECT h FROM a UNION SELECT h FROM b),
 ka AS (SELECT MAX(h) AS tau, COUNT(*) AS c
@@ -407,9 +413,11 @@ ex AS (
 ),
 exi AS (
   SELECT COUNT(*) AS exact_inter FROM (
-    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL
     INTERSECT
-    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
   )
 )
 SELECT CAST({_KMV_K} AS BIGINT) AS k,
@@ -440,7 +448,10 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge, no global sort); sketches merge by unioning value lists and
     re-truncating to k, so per-shard/per-day sketches compose without
     touching raw keys again."""
-    o = load(spark, sf_dir, "orders")
+    # NULL custkeys are not keys (r14 audit — see the oracle comment):
+    # without this filter a NULL hash sorts FIRST in Spark's ASC top-k
+    # and LAST in DuckDB's, displacing one real hash from the sketch
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10)
     sides = {
         s: o.filter(F.col("o_orderstatus") == s)

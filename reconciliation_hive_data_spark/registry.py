@@ -215,6 +215,17 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "fn_map_json": 14,
     "fn_variant": 14,
     "sink_csv": 14,
+    # r14 ASC-null-order audit (generalizing the agg_mode/x_zorder find:
+    # Spark bare-ASC is nulls-FIRST, DuckDB nulls-LAST — probed; DESC
+    # agrees by accident). Audit of every value-affecting orderBy found
+    # two latent sites, both fixture-identical, fronted per the rule:
+    # win_ntile (the one §2e window ordering ASC on a nullable column —
+    # o_totalprice; now asc_nulls_last both engines) and sketch_kmv
+    # (NULL custkey → NULL h sorted INTO Spark's k-smallest sketch but
+    # not DuckDB's; NULL keys now excluded from the key universe on both
+    # sides, matching COUNT(DISTINCT)'s treatment; kmv already fronting
+    # r14 for the try_divide fix).
+    "win_ntile": 14,
     # r14 JSON-ingest fuzz (VERDICT r13 item 4): scan_csv_json's CSV hop
     # now carries sink_csv's hardened option set so the ingest operator
     # round-trips arbitrary string content (the r13 "defaults fine for

@@ -628,7 +628,11 @@ _WIN_ORDERS = st.lists(
         st.integers(min_value=1, max_value=999),
         st.integers(min_value=1, max_value=3),  # custkey: dense partitions
         st.sampled_from(["O", "F", "P"]),
-        st.sampled_from([100.0, 100.0, 250.5, 999.99]),  # tie-heavy prices
+        # tie-heavy prices + NULL (r14 ASC-null-order audit: the engines'
+        # bare-ASC NULL defaults are opposite; win_ntile's pinned
+        # NULLS LAST and the DESC windows' agreeing nulls-last default
+        # must hold under NULL order keys, not just ties)
+        st.sampled_from([None, 100.0, 100.0, 250.5, 999.99]),
     ),
     min_size=0,
     max_size=12,
