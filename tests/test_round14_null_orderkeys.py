@@ -51,6 +51,35 @@ def test_win_ntile_null_price_lands_identically(spark, tmp_path):
     _oracle_parity(spark, d, ("win_ntile",))
 
 
+def test_desc_windows_agree_under_null_keys(spark, tmp_path):
+    """The DESC side of the audit, pinned: Spark's desc() and DuckDB's
+    DESC both default nulls-LAST, so the row_number/rank/top-k family
+    needs no pin — but that agreement is an accident of defaults worth
+    a deterministic regression (a future engine default change or a
+    rewrite to ASC would surface here, not in production). Covers NULL
+    order keys (price/acctbal) and a NULL partition key (segment)."""
+    d = str(tmp_path)
+    _write_orders(spark, d, _NTILE_ORDERS)
+    spark.createDataFrame(
+        [
+            (0, "Customer#0", 1, 100.0, "BUILDING"),
+            (1, "Customer#1", 2, None, "BUILDING"),
+            (2, "Customer#2", 3, 100.0, "BUILDING"),
+            (3, "Customer#3", 1, None, None),
+            (4, "Customer#4", 2, 300.0, None),
+            (5, "Customer#5", 3, None, "MACHINERY"),
+        ],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/customer.parquet")
+    _oracle_parity(
+        spark,
+        d,
+        ("win_rownum", "win_rank", "topk_pergroup", "sort_multi",
+         "limit_topk"),
+    )
+
+
 def test_kmv_ignores_null_keys_even_past_k(spark, tmp_path):
     """>k distinct keys per side PLUS NULL-key rows: without the source
     filter, Spark's ASC top-k admits the NULL hash first (displacing the
