@@ -618,9 +618,14 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by series key (one global series here, matching the
     single-series oracle) so state never crosses series."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # `present` marks row-EXISTENCE through the calendar join: `filled`
+    # must flag rows the calendar synthesized, and testing sum_value
+    # IS NULL instead conflated them with MEASURED buckets whose every
+    # purchase carries a NULL value (r14 events soak — the oracle's
+    # h.bucket IS NULL got that row right, this plan flagged it imputed)
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value")
-    )
+    ).withColumn("present", F.lit(1))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
@@ -631,7 +636,7 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket")
     )
     joined = cal.join(hourly, "bucket", "left").withColumn(
-        "filled", F.when(F.col("sum_value").isNull(), 1).otherwise(0).cast("int")
+        "filled", F.when(F.col("present").isNull(), 1).otherwise(0).cast("int")
     )
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return joined.select(

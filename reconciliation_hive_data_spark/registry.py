@@ -226,6 +226,13 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # sides, matching COUNT(DISTINCT)'s treatment; kmv already fronting
     # r14 for the try_divide fix).
     "win_ntile": 14,
+    # r14 events soak (deeper-example pass over the same pools): a
+    # measured purchase bucket whose every value is NULL was flagged
+    # filled=1 (imputed) by the plan's sum_value-IS-NULL test where the
+    # oracle's row-presence test says 0; the plan now joins an explicit
+    # `present` marker. Fixture purchases all carry values → identical
+    # there; fronted per the rewrite rule.
+    "x_gapfill": 14,
     # r14 JSON-ingest fuzz (VERDICT r13 item 4): scan_csv_json's CSV hop
     # now carries sink_csv's hardened option set so the ingest operator
     # round-trips arbitrary string content (the r13 "defaults fine for

@@ -257,6 +257,11 @@ _PINNED = [
     (8, _T0 + 9 * _H, None, "click", 8.00, '{"K": 5}'),
     (9, _T0 + 9 * _H + 1, 3, None, 1.00,
      '{"k": 7, "nested": {"a": {"b": {"c": [1, {"d": 2}]}}}}'),
+    # a MEASURED purchase bucket whose only value is NULL — x_gapfill must
+    # flag it filled=0 (present, value unknown), not imputed (r14 soak
+    # find: the plan tested sum_value IS NULL where the oracle tests
+    # row-presence; LOCF still carries the prior value over it)
+    (10, _T0 + 11 * _H, 1, "purchase", None, "{}"),
 ]
 
 
