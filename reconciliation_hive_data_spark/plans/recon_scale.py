@@ -829,3 +829,182 @@ def recon_bucket_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drift")
         .alias("fault"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_schema_evolve — schema-evolution reconciliation (round 15, §7.6.2)
+# ---------------------------------------------------------------------------
+
+#: The audited catalog: the union schema across vintages, with each column's
+#: type (used to materialize an all-null column when NO file carries it —
+#: e.g. an empty vintage, where mergeSchema has nothing to merge from).
+#: o_totalprice exists only pre-migration (DROPPED by the v2 migration);
+#: o_status_code only post-migration (ADDED by it).
+_SE_CATALOG = (
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderdate", "timestamp"),
+    ("o_totalprice", "double"),
+    ("o_status_code", "string"),
+)
+
+_SE_ORACLE = """
+WITH v AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus,
+         -- pmod split: NULL keys route to the post-migration vintage with
+         -- the odd keys (CASE NULL = 0 is NULL -> ELSE), mirroring the
+         -- plan's complement-keeps-NULL filter pair
+         CASE WHEN ((o_orderkey % 2) + 2) % 2 = 0 THEN 'v1' ELSE 'v2' END
+           AS vintage
+  FROM orders
+),
+agg AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(*) FILTER (WHERE vintage = 'v1') AS n_v1,
+         COUNT(*) FILTER (WHERE vintage = 'v2') AS n_v2,
+         COUNT(o_orderkey) AS nn_okey,
+         COUNT(o_custkey) AS nn_ckey,
+         COUNT(o_orderdate) AS nn_odate,
+         COUNT(o_totalprice) FILTER (WHERE vintage = 'v1') AS nn_price,
+         COUNT(o_orderstatus) FILTER (WHERE vintage = 'v2') AS nn_status
+  FROM v
+),
+u AS (
+  SELECT 'o_orderkey' AS col_name, n_rows, n_rows AS n_present,
+         nn_okey AS n_nonnull FROM agg
+  UNION ALL SELECT 'o_custkey', n_rows, n_rows, nn_ckey FROM agg
+  UNION ALL SELECT 'o_orderdate', n_rows, n_rows, nn_odate FROM agg
+  UNION ALL SELECT 'o_totalprice', n_rows, n_v1, nn_price FROM agg
+  UNION ALL SELECT 'o_status_code', n_rows, n_v2, nn_status FROM agg
+)
+SELECT col_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_present AS BIGINT) AS n_schema_present,
+       CAST(n_nonnull AS BIGINT) AS n_nonnull,
+       CAST(n_rows - n_present AS BIGINT) AS n_null_fill,
+       CAST(n_present - n_nonnull AS BIGINT) AS n_null_real
+FROM u
+"""
+
+
+@query("recon_schema_evolve", oracle=_SE_ORACLE)
+def recon_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution reconciliation (SURVEY §7.6.2): the migration audit
+    a long-lived table needs after its schema changed mid-history. Two
+    parquet vintages of orders are written Hive-style under one root
+    (``vintage=v1``: the pre-migration schema with o_totalprice;
+    ``vintage=v2``: post-migration, o_totalprice DROPPED and o_status_code
+    ADDED), the root is read back with ``mergeSchema``, and the report
+    says — per union-schema column — how much of its nullness is
+    *schema-fill* (the vintage never carried the column; mergeSchema
+    synthesized NULL) vs *real* (the owning vintage stored NULL):
+
+      (col_name, n_rows, n_schema_present, n_nonnull, n_null_fill,
+       n_null_real)   with  n_null_fill = n_rows - n_schema_present
+                      and   n_null_real = n_schema_present - n_nonnull.
+
+    Per-vintage column ownership is NOT assumed from the catalog: it is
+    probed from the written files' footers (a driver-side metadata read,
+    no data IO — the file-level truth a migration audit must verify, and
+    at 100 TB the same role is played by the table format's per-snapshot
+    schema ids). The deterministic key split (pmod; the complement keeps
+    NULL keys with the odd keys — r14 s_checkpoint_resume precedent) lets
+    the oracle re-derive every count from the source table alone.
+
+    Scale shape: ONE data-sized exchange — the groupBy(vintage) whose
+    per-vintage (count(*), count(col)...) partials map-side combine; the
+    stack to long form, the footer-presence broadcast join, and the final
+    per-column rollup all run on a ≤ 2×|cols| metadata-sized frame. Types
+    are stable across vintages by construction; a vintage that CHANGES a
+    column's type is out of this operator's contract (Spark's mergeSchema
+    fails loudly on conflicting types — pinned in
+    tests/test_round15_schema_evolve.py — and auditing a type migration
+    needs a cast-on-read plan, a different tool)."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    root = (
+        f"/tmp/rhds_sinks/{os.path.basename(sf_dir.rstrip('/'))}"
+        "/orders_vintages"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = load(spark, sf_dir, "orders")
+    even = F.pmod(F.col("o_orderkey"), 2) == 0
+    src.filter(even).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{root}/vintage=v1")
+    src.filter(~even | even.isNull()).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("o_orderstatus").alias("o_status_code"),
+    ).write.mode("overwrite").parquet(f"{root}/vintage=v2")
+
+    catalog_cols = [c for c, _ in _SE_CATALOG]
+    present: list[tuple[str, str]] = []
+    for vin in ("v1", "v2"):
+        try:  # footer-probed ownership; an empty vintage owns nothing
+            cols = spark.read.parquet(f"{root}/vintage={vin}").columns
+        except AnalysisException:
+            cols = []
+        present += [(c, vin) for c in cols if c in catalog_cols]
+
+    try:
+        merged = spark.read.option("mergeSchema", "true").parquet(root)
+    except AnalysisException:  # zero files in BOTH vintages (empty source)
+        merged = spark.createDataFrame(
+            [],
+            ", ".join(f"{c} {t}" for c, t in _SE_CATALOG)
+            + ", vintage string",
+        )
+    for c, t in _SE_CATALOG:  # columns no surviving file carries
+        if c not in merged.columns:
+            merged = merged.withColumn(c, F.lit(None).cast(t))
+
+    per_v = merged.groupBy("vintage").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"nn_{i}") for i, c in enumerate(catalog_cols)],
+    )
+    stack = ", ".join(f"'{c}', nn_{i}" for i, c in enumerate(catalog_cols))
+    long = per_v.select(
+        "vintage",
+        "n",
+        F.expr(
+            f"stack({len(catalog_cols)}, {stack}) AS (col_name, n_nonnull)"
+        ),
+    )
+    presence = spark.createDataFrame(
+        present, "col_name string, vintage string"
+    ).withColumn("present", F.lit(1))
+    owned = F.col("present") == 1
+    zero = F.lit(0).cast("bigint")
+    grouped = (
+        long.join(F.broadcast(presence), ["col_name", "vintage"], "left")
+        .groupBy("col_name")
+        .agg(
+            F.sum("n").alias("g_rows"),
+            F.sum(F.when(owned, F.col("n")).otherwise(0)).alias("g_present"),
+            # gate on footer ownership: nullness OUTSIDE owning vintages is
+            # schema fill by definition, never "real" storage nulls
+            F.sum(F.when(owned, F.col("n_nonnull")).otherwise(0)).alias(
+                "g_nonnull"
+            ),
+        )
+    )
+    spec = spark.createDataFrame(
+        [(c,) for c in catalog_cols], "col_name string"
+    )
+    return spec.join(F.broadcast(grouped), "col_name", "left").select(
+        "col_name",
+        F.coalesce("g_rows", zero).cast("bigint").alias("n_rows"),
+        F.coalesce("g_present", zero).cast("bigint").alias("n_schema_present"),
+        F.coalesce("g_nonnull", zero).cast("bigint").alias("n_nonnull"),
+        (F.coalesce("g_rows", zero) - F.coalesce("g_present", zero))
+        .cast("bigint")
+        .alias("n_null_fill"),
+        (F.coalesce("g_present", zero) - F.coalesce("g_nonnull", zero))
+        .cast("bigint")
+        .alias("n_null_real"),
+    )

@@ -1,0 +1,118 @@
+"""Round-15 recon_schema_evolve pins (SURVEY §7.6.2).
+
+The migration audit distinguishes schema-fill nullness (the vintage never
+carried the column; mergeSchema synthesized NULL) from real storage nulls
+inside the owning vintage. The hostile pools here cover the shapes a
+long-lived table's history actually produces:
+
+- NULL / negative order keys — the pmod split must PARTITION the table
+  (r14 s_checkpoint_resume class: a C-style ``% 2`` drops them from both
+  vintages; NULLs must land deterministically with the odd keys).
+- Vintage-skewed distribution — ALL keys one parity leaves the other
+  vintage fileless, so its columns vanish from the merged schema entirely
+  and footer-probed ownership must report zero presence (not crash, not
+  assume the catalog).
+- All-null ADDED column — every o_status_code value NULL in its owning
+  vintage: n_null_real must equal the vintage's row count while
+  n_null_fill stays the other vintage's (real vs fill separation under
+  the degenerate case that looks exactly like fill).
+- All-null DROPPED column — same separation on the pre-migration side.
+- Empty source — both vintages empty; the report is the full 5-row
+  catalog with all-zero counts (the oracle's single agg row behaves the
+  same way).
+
+Out of contract, pinned loudly rather than silently: a vintage that
+CHANGES a column's type. Spark's parquet mergeSchema raises on
+conflicting types (it merges field SETS, not type lattices), so a type
+migration can never silently corrupt the audit — it needs a
+cast-on-read plan, a different tool.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .test_round10_properties import _oracle_parity, _write_orders
+
+_HOSTILE_KEYS = [
+    # (key, cust, status, price, day, prio): negative evens/odds, NULL key,
+    # int64 extremes, and a NULL-status row riding a NULL key
+    (0, 1, "O", 100.0, 0, "1-URGENT"),
+    (-2, 2, "F", 200.0, 1, "3-MEDIUM"),
+    (-3, 3, "P", 300.0, 2, "5-LOW"),
+    (7, 4, None, None, 3, "2-HIGH"),
+    (None, 5, None, 400.0, 4, "4-NOT SPECIFIED"),
+    (9223372036854775807, 6, "O", 500.0, 5, "1-URGENT"),
+    (-9223372036854775808, 7, "F", None, 6, "3-MEDIUM"),
+]
+
+
+def test_hostile_keys_split_and_count_identically(spark, tmp_path):
+    d = str(tmp_path)
+    _write_orders(spark, d, _HOSTILE_KEYS)
+    _oracle_parity(spark, d, ("recon_schema_evolve",))
+
+
+def test_vintage_skew_one_side_fileless(spark, tmp_path):
+    """ALL odd keys: vintage v1 writes no files, o_totalprice exists in
+    no footer, and presence/fill must come out of the FILES, not the
+    catalog assumption."""
+    d = str(tmp_path)
+    _write_orders(
+        spark,
+        d,
+        [(2 * i + 1, i, "O", 10.0 * i, i, "5-LOW") for i in range(8)],
+    )
+    _oracle_parity(spark, d, ("recon_schema_evolve",))
+
+
+def test_all_null_added_column_is_real_not_fill(spark, tmp_path):
+    d = str(tmp_path)
+    _write_orders(
+        spark,
+        d,
+        [(i, i, None, None if i % 2 == 0 else 1.0 * i, i, "5-LOW")
+         for i in range(10)],
+    )
+    _oracle_parity(spark, d, ("recon_schema_evolve",))
+
+
+def test_empty_source_reports_zero_catalog(spark, tmp_path):
+    d = str(tmp_path)
+    _write_orders(spark, d, [])
+    _oracle_parity(spark, d, ("recon_schema_evolve",))
+
+
+def test_merge_schema_type_conflict_fails_loudly(spark, tmp_path):
+    """The documented out-of-contract fork: a column whose TYPE changed
+    between vintages makes Spark's mergeSchema raise (merge of field sets,
+    not a type lattice) — the audit can never silently mis-count a type
+    migration as nullness."""
+    root = str(tmp_path / "conflict")
+    spark.createDataFrame([(1, 1.5)], "k bigint, v double").write.parquet(
+        root + "/vintage=v1"
+    )
+    spark.createDataFrame([(2, "x")], "k bigint, v string").write.parquet(
+        root + "/vintage=v2"
+    )
+    with pytest.raises(Exception, match="(?i)merge|incompatible|failed"):
+        spark.read.option("mergeSchema", "true").parquet(root).collect()
+
+
+def test_single_data_sized_exchange(spark, sf_dir):
+    """Scale contract: the orders-sized read contributes exactly ONE
+    shuffle (the groupBy(vintage) partial/final agg); everything after it
+    runs on a metadata-sized long frame whose joins broadcast. Two
+    Exchange nodes total — the second is the ≤2×|cols|-row per-column
+    rollup — and no cartesian anywhere."""
+    from reconciliation_hive_data_spark.plans.recon_scale import (
+        recon_schema_evolve,
+    )
+
+    from .test_plans import plan
+
+    p = plan(recon_schema_evolve(spark, sf_dir))
+    assert p.count(") Exchange") == 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BroadcastHashJoin" in p
