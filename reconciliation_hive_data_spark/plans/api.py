@@ -226,12 +226,20 @@ class ReconPair:
             return df.selectExpr(f"stack({len(metrics)}, {stack}) as (metric, {val})")
 
         j = unpivot(s, "sval").join(unpivot(t, "tval"), "metric")
+        # Null-safe status (r15, §7.7.2): a metric that is NULL on BOTH
+        # sides (min/max/sum over an empty or all-null side) is equally
+        # absent — MATCH, not the FP_DIFF the bare NULL comparison's
+        # when/otherwise fell into; NULL on exactly one side stays a diff.
         return j.select(
             "metric",
             dround("sval", 4).alias("src_val"),
             dround("tval", 4).alias("tgt_val"),
             dround(F.col("sval") - F.col("tval"), 4).alias("diff"),
-            F.when(F.abs(F.col("sval") - F.col("tval")) < 1e-9, "MATCH")
+            F.when(
+                F.col("sval").eqNullSafe(F.col("tval"))
+                | (F.abs(F.col("sval") - F.col("tval")) < 1e-9),
+                "MATCH",
+            )
             .otherwise("FP_DIFF")
             .alias("status"),
         )
@@ -346,8 +354,12 @@ def _summary_oracle() -> str:
              CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS m16
       FROM {side}
     """
+    # Null-safe terms (r15, §7.7.2): one-side-NULL is a diff (the bare
+    # ABS() comparison NULL-propagated to 0 there), both-NULL is a match —
+    # mirroring the plan's eqNullSafe status exactly.
     diff_terms = " + ".join(
-        f"(CASE WHEN ABS(s.{m} - t.{m}) >= 1e-9 THEN 1 ELSE 0 END)"
+        f"(CASE WHEN (s.{m} IS NULL) <> (t.{m} IS NULL) THEN 1"
+        f" WHEN ABS(s.{m} - t.{m}) >= 1e-9 THEN 1 ELSE 0 END)"
         for m in ["row_count"] + [f"m{i}" for i in range(1, 17)]
     )
     return (
@@ -395,6 +407,10 @@ cells AS (
     AS v
   FROM orders s JOIN tgt_dedup t ON s.o_orderkey = t.o_orderkey
 ),
+-- COALESCE (r15, §7.7.2): the SUM over a zero-row join is NULL, which the
+-- status CASE read as 'DIFF' — empty == empty must report MATCH, as the
+-- plan's count(*) = 0 correctly does
+cells0 AS (SELECT COALESCE(v, 0) AS v FROM cells),
 sfp AS ({fp_metrics.format(side='orders')}),
 tfp AS ({fp_metrics.format(side='orders_tgt')}),
 fp AS (SELECT {diff_terms} AS v FROM sfp s CROSS JOIN tfp t)
@@ -405,7 +421,7 @@ FROM (
   UNION ALL SELECT 'keys_missing', v FROM missing
   UNION ALL SELECT 'duplicate_keys', v FROM dups
   UNION ALL SELECT 'row_hash_diffs', v FROM rowhash
-  UNION ALL SELECT 'cell_diffs', v FROM cells
+  UNION ALL SELECT 'cell_diffs', v FROM cells0
   UNION ALL SELECT 'fingerprint_diffs', v FROM fp
 )
 """

@@ -75,7 +75,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_dedup_near": 5,            # persisted shingle table + checkpointed result
     "x_dedup_simhash": 5,         # checkpointed signature before self-join
     "x_dedup_simhash_banded": 5,  # checkpointed signature before band join
-    "recon_api_summary": 5,       # persisted sides across the six-check fan-out
+    # (recon_api_summary r5 persisted-sides rewrite superseded by the r15
+    # entry below — single entry at the max round)
     "join_range": 5,              # stats-sized grid replaced the fixed 1-hour grid
     "x_text_repetition": 5,       # bound token column + sorted-run top count
     "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
@@ -83,7 +84,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # connected_components (r9) — single entry at the max round, since the
     # fronting logic keys off the most recent rewrite
     "x_dedup_clusters": 9,
-    "recon_crossformat": 6,       # ORC target became a fingerprinted artifact
+    # (recon_crossformat r6 fingerprinted-ORC-artifact rewrite superseded
+    # by the r15 entry below — single entry at the max round)
     # (x_knn_graph r8 half-pair rewrite superseded by the r12 entry below)
     # µs-exact session-gap comparison replaced the whole-second cast('long')
     # truncation (ADVICE r9): boundary gaps in (1800 s, 1801 s) could flip
@@ -248,6 +250,17 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # taus are large positive → results identical there; fronted per the
     # rewrite rule.
     "sketch_kmv": 14,
+    # r15 (§7.7.2, the deferred empty==empty polish): ReconPair.fingerprints'
+    # status now treats a both-sides-NULL metric (min/max/sum over an empty
+    # or all-null side) as MATCH via eqNullSafe, and the shared summary
+    # oracle gained the mirrored null-mismatch arm + a COALESCE on the
+    # cells SUM — empty == empty reads all-MATCH on both engines (the two
+    # rows leave the empty-sweep KNOWN ledger). Fixture sides are non-empty
+    # with non-null metrics → results identical there; fronted per the
+    # rewrite rule (the shared oracle-text change fronts both via snapshot
+    # mismatch as well).
+    "recon_api_summary": 15,
+    "recon_crossformat": 15,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -116,3 +116,29 @@ def test_single_data_sized_exchange(spark, sf_dir):
     assert p.count(") Exchange") == 2, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_fingerprint_status_nullsafe_empty_vs_empty(spark):
+    """§7.7.2 polish pin: a metric NULL on BOTH sides (min/max/sum over an
+    empty side) is equally absent — MATCH; NULL on exactly ONE side stays
+    FP_DIFF. Before r15 the bare NULL comparison's when/otherwise read
+    both cases as FP_DIFF on Spark and as 0-diff in the oracle."""
+    from reconciliation_hive_data_spark.plans.api import ReconPair
+
+    schema = "k bigint, v double"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, 2.5)], schema)
+
+    both_empty = ReconPair(
+        source=empty, target=empty, keys=["k"], compare_cols={"v": "double"}
+    ).fingerprints()
+    # 6 metrics: row_count, nulls__v, distinct__v, sum__v, min__v, max__v
+    assert [r.status for r in both_empty.collect()] == ["MATCH"] * 6
+
+    one_side = ReconPair(
+        source=one, target=empty, keys=["k"], compare_cols={"v": "double"}
+    ).fingerprints()
+    # every metric is genuinely one-sided here: row_count 1 vs 0,
+    # min/max/sum value vs NULL, and even nulls__v is 0 vs NULL (a SUM
+    # over the empty side is NULL — absence, not zero)
+    assert [r.status for r in one_side.collect()] == ["FP_DIFF"] * 6

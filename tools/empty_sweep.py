@@ -26,15 +26,15 @@ not operator bugs:
   Upstream engine divergence; delegating to Spark's native Expand-based
   plan is the right 100 TB shape. (In onerow mode the same divergence
   surfaces for the two queries whose dim joins match nothing.)
-- recon_api_summary / recon_crossformat — the oracles' NULL-propagating
-  status CASEs read 'DIFF' when both sides are empty; the Spark side's
-  coalesced counts correctly say MATCH (empty == empty). Oracle nuance.
 - scan_binaryfile — the oracle hardcodes the coalesce(1) → exactly-one-
   file assumption; an empty frame writes ZERO data files and the Spark
   side truthfully reports 0.
 Healed in round 10 itself (explicit read-back schema; probe-row empty
 guard): scan_partition_pruned / sink_partitioned / sink_compact /
-x_sim_brp_mllib.
+x_sim_brp_mllib. Healed in round 15 (§7.7.2 null-safe status): the
+recon_api_summary / recon_crossformat empty==empty divergence — the
+oracle's cells SUM now coalesces to 0 and both engines' fingerprint
+status treat a both-sides-NULL metric as MATCH.
 """
 
 from __future__ import annotations
@@ -55,8 +55,6 @@ KNOWN = {
             "agg_rollup",
             "agg_gsets",
             "agg_groupingid",
-            "recon_api_summary",
-            "recon_crossformat",
             "scan_binaryfile",
         },
         "error": set(),
