@@ -37,6 +37,22 @@ from ..registry import query
 # 1/0; strings cast only when integral text (Spark's string->bigint cast
 # rejects '3.9'/'0x10'/'1e3' where DuckDB's parses them — hence the
 # regex gate; both trim space padding); arrays/objects/null -> NULL.
+#
+# Fractional literals with >15-16 SIGNIFICANT DIGITS are OUT of the
+# parity contract (r15, ADVICE r14 — adjudicated like duplicate keys /
+# NaN / >uint64 integers): Spark's variant parser stores them as exact
+# DECIMAL(<=38) and truncates exactly (4611686018427387903.9 ->
+# ...903; 9223372036854775807.5 -> int64 max), while DuckDB's
+# yyjson-backed json_extract_string RE-RENDERS every DOUBLE-typed token
+# through binary64 BEFORE any cast can see it ('4611686018427388000.0'
+# / '9223372036854776000.0' -> ...904 / NULL) — probed r15: the raw
+# token is unreachable from DuckDB's JSON layer (json_extract /
+# _path_text all re-render), so no oracle expression can be
+# decimal-exact and the fork is a parser-model divergence, not a cast
+# bug. Double-exact fractionals (<=15 sig digits, any form) and ALL
+# integral-valued forms stay fully in contract; Spark's exact-decimal
+# answers for the out-of-contract shapes are pinned as known-answer
+# tests (test_round15_schema_evolve.py), no-abort everywhere.
 _FN_VARIANT_ORACLE = """
 WITH j AS (
   SELECT event_type,
@@ -98,10 +114,17 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            # try_sum: a group of legal int64-scale k values must yield
-            # NULL on sum overflow, not ANSI-abort the job (the oracle's
-            # HUGEINT sum + TRY_CAST lands on the same NULL)
-            F.try_sum("k").alias("sum_k"),
+            # exact DECIMAL(38,0) sum + try_cast, not try_sum (r15, ADVICE
+            # r14): try_sum NULLs when any PARTIAL sum overflows int64 —
+            # partition-order-dependent for a mixed-sign group whose true
+            # sum fits — while the oracle's HUGEINT-internal SUM NULLs
+            # only on true-sum overflow. Summing in decimal(38,0) is exact
+            # (overflow needs |sum| >= 1e38 ~ 1e19 int64-max rows), and
+            # the final try_cast lands on the oracle's exact NULL
+            # condition. Still one map-side-combinable agg, JVM-side.
+            F.expr(
+                "try_cast(sum(cast(k AS decimal(38,0))) AS bigint)"
+            ).alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )

@@ -429,9 +429,16 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention; no-abort still pinned by the fuzz): duplicate-key objects
     (get_json_object keeps the first, from_json's streaming parse the
     last, RFC 8259 shrugs), non-standard NaN/Infinity tokens (DuckDB's
-    yyjson accepts, Jackson rejects the whole document), and integer
+    yyjson accepts, Jackson rejects the whole document), integer
     literals beyond uint64 (DuckDB demotes to DOUBLE, Spark keeps exact
-    DECIMAL)."""
+    DECIMAL), and double-OVERFLOW numeric literals (1e309 and beyond —
+    r15, ADVICE r14): DuckDB probes them json_valid/DOUBLE and extracts
+    'Infinity', while the carve gate's [.eE] test rides on whatever text
+    Spark's gjo re-serialization emits for a token no binary64 can hold
+    — the row could land k_str on one engine and k_num=inf on the other
+    depending on parser internals, so the class stays out of the pool
+    with no-abort as the only pinned behavior (same adjudication as the
+    NaN/Infinity token fork above)."""
     e = load(spark, sf_dir, "events")
     k_int = F.from_json("props", "k INT").getField("k")
     k_dbl = F.from_json("props", "k DOUBLE").getField("k")

@@ -215,8 +215,16 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_zorder": 14,
     "s_checkpoint_resume": 14,
     "fn_map_json": 14,
-    "fn_variant": 14,
-    "sink_csv": 14,
+    # fn_variant / sink_csv r14 try_cast/try_sum hardening superseded by
+    # the r15 exact-sum rewrite (ADVICE r14): try_sum NULLed on PARTIAL
+    # int64 overflow — partition-order-dependent for a mixed-sign group
+    # whose true sum fits — where the oracle's HUGEINT-internal SUM NULLs
+    # only on true-sum overflow; both now sum exactly in DECIMAL(38,0)
+    # and try_cast the total, landing on the oracle's NULL condition.
+    # Fixture k values are small positives → results identical there;
+    # fronted per the rewrite rule (single entry at the max round).
+    "fn_variant": 15,
+    "sink_csv": 15,
     # r14 ASC-null-order audit (generalizing the agg_mode/x_zorder find:
     # Spark bare-ASC is nulls-FIRST, DuckDB nulls-LAST — probed; DESC
     # agrees by accident). Audit of every value-affecting orderBy found

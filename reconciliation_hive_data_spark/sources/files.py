@@ -311,10 +311,15 @@ def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         # try_cast, not cast (r14 events fuzz): a props value whose k is a
         # non-numeric string ('{"k": "abc"}') ANSI-aborted the whole round
-        # trip; one dirty row must degrade to NULL, not kill the sink job
-        F.try_sum(F.expr("try_cast(get_json_object(props, '$.k') AS bigint)"))
-        .cast("bigint")
-        .alias("sum_k"),
+        # trip; one dirty row must degrade to NULL, not kill the sink job.
+        # Exact DECIMAL(38,0) sum + final try_cast, not try_sum (r15,
+        # ADVICE r14): try_sum NULLs on PARTIAL int64 overflow (partition-
+        # order-dependent for mixed-sign groups whose true sum fits) where
+        # the oracle's HUGEINT SUM NULLs only on true-sum overflow.
+        F.expr(
+            "try_cast(sum(cast(try_cast(get_json_object(props, '$.k')"
+            " AS bigint) AS decimal(38,0))) AS bigint)"
+        ).alias("sum_k"),
     )
 
 

@@ -164,6 +164,9 @@ _PROPS = [
     '{"k": "0x10"}',                               # hex text
     '{"k": "1e3"}',                                # exponent text
     '{"k": "99999999999999999999999"}',            # bigint-overflow text
+    '{"k": -0.5}',                                 # truncates toward zero
+    '{"k": 2.9999995}',                            # carry-risk fraction
+    '{"k": 1.5e3}',                                # fractional exponent form
     # NOT in the pool, adjudicated out of the parity contract:
     # - '{"k": 1, "k": 2}' (duplicate key): RFC 8259 leaves it
     #   unpredictable and Spark's own paths disagree (get_json_object
@@ -177,6 +180,19 @@ _PROPS = [
     # - ASCII-control padding inside numeric text ('{"k": "12\\t"}'):
     #   Spark's cast trims all control chars <= 0x20, SQL trim only
     #   spaces — realistic ingest pads with spaces at most.
+    # - fractional literals with >15-16 significant digits
+    #   ('{"k": 4611686018427387903.9}', r15/ADVICE r14): Spark's variant
+    #   stores exact DECIMAL and truncates exactly; DuckDB's yyjson
+    #   re-renders every DOUBLE-typed token through binary64 BEFORE any
+    #   oracle cast can see it (probed: json_extract/_string/_path_text
+    #   all emit '4611686018427388000.0') — no decimal-exact oracle is
+    #   expressible. Spark's exact answers pinned as known-answer tests
+    #   in test_round15_schema_evolve.py.
+    # - double-overflow numeric literals ('{"k": 1e309}', r15/ADVICE
+    #   r14): DuckDB probes json_valid/DOUBLE and extracts 'Infinity';
+    #   fn_map_json's [.eE] carve gate rides on Spark's gjo
+    #   re-serialization of a token binary64 can't hold — parser-model
+    #   fork, no-abort pinned below.
     '{ "k" :\t42 }',                               # whitespace chaos
     '{"k": 7, "nested": {"a": {"b": {"c": [1, {"d": 2}]}}}}',
     '{"日本": "データ", "k": 9}',                   # unicode member
@@ -262,6 +278,11 @@ _PINNED = [
     # find: the plan tested sum_value IS NULL where the oracle tests
     # row-presence; LOCF still carries the prior value over it)
     (10, _T0 + 11 * _H, 1, "purchase", None, "{}"),
+    # r15 in-contract fractional shapes (the out-of-contract >15-sig-digit
+    # cousins are pinned Spark-side in test_round15_schema_evolve.py)
+    (11, _T0 + 12 * _H, 2, "view", 1.50, '{"k": -0.5}'),
+    (12, _T0 + 12 * _H + 1, 3, "click", 2.25, '{"k": 2.9999995}'),
+    (13, _T0 + 13 * _H, 0, "error", -1.00, '{"k": 1.5e3}'),
 ]
 
 
@@ -282,7 +303,11 @@ def test_duplicate_key_props_never_abort_any_spark_path(spark, tmp_path):
     return rows on a corpus of 100% such objects."""
     d = str(tmp_path)
     shapes = ['{"k": 1, "k": 2}', '{"k": NaN}', '{"k": Infinity}',
-              '{"k": 99999999999999999999999}']
+              '{"k": 99999999999999999999999}',
+              # r15 additions: high-precision fractional + double-overflow
+              # literals (see the pool comment's out-of-contract list)
+              '{"k": 4611686018427387903.9}', '{"k": 1e309}',
+              '{"k": -1e309}', '{"k": 9223372036854775807.5}']
     rows = [
         (i, _T0 + i * _H, i % 3, "click", 1.0, shapes[i % len(shapes)])
         for i in range(8)

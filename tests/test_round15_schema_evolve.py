@@ -142,3 +142,71 @@ def test_fingerprint_status_nullsafe_empty_vs_empty(spark):
     # min/max/sum value vs NULL, and even nulls__v is 0 vs NULL (a SUM
     # over the empty side is NULL — absence, not zero)
     assert [r.status for r in one_side.collect()] == ["FP_DIFF"] * 6
+
+
+def test_variant_exact_decimal_truncation_known_answers(spark):
+    """Spark-side known answers for the r15 out-of-contract class
+    (fractional literals with >15-16 significant digits): the variant
+    parser stores them as exact DECIMAL(<=38) and the bigint extraction
+    truncates the EXACT value — pinned here because no DuckDB oracle can
+    express it (yyjson re-renders every DOUBLE-typed token through
+    binary64 before a cast can see it; see the fn_variant oracle
+    comment)."""
+    cases = [
+        ('{"k": 4611686018427387903.9}', 4611686018427387903),
+        ('{"k": 9223372036854775807.5}', 9223372036854775807),
+        ('{"k": -9223372036854775808.9}', -9223372036854775808),
+        ('{"k": 9223372036854775808.5}', None),  # int-part past int64
+        ('{"k": 2.9999995}', 2),  # no round-half carry, ever
+        ('{"k": 1.5e3}', 1500),  # exponent forms parse exactly too
+        # >38 significant digits: variant falls back to DOUBLE storage,
+        # bigint extraction overflows -> NULL
+        ('{"k": 123456789012345678901234567890123456789.5}', None),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], "props string")
+    got = {
+        r.props: r.k
+        for r in df.select(
+            "props",
+            F.try_variant_get(
+                F.try_parse_json("props"), "$.k", "bigint"
+            ).alias("k"),
+        ).collect()
+    }
+    assert got == {s: exp for s, exp in cases}
+
+
+def test_exact_decimal_sum_immune_to_partition_order(spark):
+    """r15 exact-sum rewrite pin (ADVICE r14): a mixed-sign group whose
+    TRUE sum fits int64 but whose partial sums can overflow it must
+    aggregate to the true sum on every partitioning — try_sum NULLed
+    depending on which values met first; the DECIMAL(38,0) sum is exact.
+    A group whose true sum genuinely overflows stays NULL (the oracle's
+    HUGEINT + TRY_CAST answer)."""
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    big = 9223372036854775807
+    fits = [big, big, -big, -big, 7]  # true sum = 7; partials can overflow
+    overflows = [big, big, -3]  # true sum = 2*int64max - 3 > int64max
+    for sf_parts in (1, 5):
+        rows = [(i, "mix", f'{{"k": {v}}}') for i, v in enumerate(fits)]
+        rows += [
+            (100 + i, "over", f'{{"k": {v}}}')
+            for i, v in enumerate(overflows)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id bigint, event_type string, props string"
+        ).repartition(sf_parts)
+        out = {
+            r.event_type: r.sum_k
+            for r in df.groupBy("event_type")
+            .agg(
+                F.expr(
+                    "try_cast(sum(cast(try_variant_get(try_parse_json(props),"
+                    " '$.k', 'bigint') AS decimal(38,0))) AS bigint)"
+                ).alias("sum_k")
+            )
+            .collect()
+        }
+        assert out == {"mix": 7, "over": None}, (sf_parts, out)
