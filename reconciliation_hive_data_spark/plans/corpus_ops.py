@@ -630,3 +630,179 @@ def x_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_round — one deterministic BPE merge round (round 15, SURVEY §7.6.3)
+# ---------------------------------------------------------------------------
+
+#: symbol standing in for the freshly merged pair inside re-split words;
+#: unreachable by construction — the token alphabet is [a-z] only
+_BPE_MARK = "\x01"
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT w AS word, COUNT(*) AS wc
+  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  GROUP BY w
+),
+pre AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS s1,
+         substr(word, CAST(i AS INT) + 1, 1) AS s2,
+         SUM(wc) AS cnt
+  FROM words, UNNEST(range(1, length(word))) AS g(i)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT s1 || s2 AS pair FROM pre
+  ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1
+),
+merged AS (
+  SELECT replace(w.word, b.pair, chr(1)) AS word, w.wc, b.pair
+  FROM words w CROSS JOIN best b
+),
+post AS (
+  SELECT pair AS merged_pair,
+         CASE WHEN substr(word, CAST(i AS INT), 1) = chr(1)
+              THEN pair ELSE substr(word, CAST(i AS INT), 1) END AS s1,
+         CASE WHEN substr(word, CAST(i AS INT) + 1, 1) = chr(1)
+              THEN pair ELSE substr(word, CAST(i AS INT) + 1, 1) END AS s2,
+         SUM(wc) AS cnt
+  FROM merged, UNNEST(range(1, length(word))) AS g(i)
+  GROUP BY 1, 2, 3
+)
+SELECT merged_pair, s1, s2, CAST(cnt AS BIGINT) AS cnt,
+       CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT *, row_number() OVER (ORDER BY cnt DESC, s1 ASC, s2 ASC) AS rn
+  FROM post
+) WHERE rn <= 20
+"""
+
+
+def _bpe_pairs(df: DataFrame, word_col: str) -> DataFrame:
+    """Adjacent character pairs of ``word_col`` weighted by ``wc``; the
+    length >= 2 guard keeps Spark's DESCENDING sequence(1, 0) away from
+    single-letter words (the shingles3 abort class, SURVEY §7.7)."""
+    return (
+        df.filter(F.length(word_col) >= 2)
+        .select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({word_col}) - 1),"
+                    f" i -> struct(substring({word_col}, i, 1) AS s1,"
+                    f" substring({word_col}, i + 1, 1) AS s2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"))
+    )
+
+
+def _bpe_words(docs: DataFrame) -> DataFrame:
+    """Corpus → word-frequency table: the ONLY corpus-sized stage."""
+    return (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def _bpe_report(words: DataFrame) -> DataFrame:
+    """Elect the argmax pair, apply the merge, emit top-20 post-merge pair
+    counts. ``words`` is consumed TWICE (pre-merge counts feeding the
+    argmax, and the merge application) — callers persist it so the corpus
+    scan behind it runs once (plan-test pinned)."""
+    pre = _bpe_pairs(words, "word").agg(F.sum("wc").alias("cnt"))
+    best = (
+        pre.orderBy(F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc())
+        .limit(1)
+        .select(F.concat("s1", "s2").alias("pair"))
+    )
+    merged = words.crossJoin(F.broadcast(best)).select(
+        F.expr(f"replace(word, pair, '{_BPE_MARK}')").alias("word"),
+        "wc",
+        "pair",
+    )
+
+    def sym(c):
+        return F.when(c == _BPE_MARK, F.col("pair")).otherwise(c)
+
+    post = (
+        merged.filter(F.length("word") >= 2)
+        .select(
+            "wc",
+            "pair",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> struct(substring(word, i, 1) AS c1,"
+                    " substring(word, i + 1, 1) AS c2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(
+            F.col("pair").alias("merged_pair"),
+            sym(F.col("p.c1")).alias("s1"),
+            sym(F.col("p.c2")).alias("s2"),
+        )
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    return (
+        post.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "merged_pair",
+            "s1",
+            "s2",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            "rn",
+        )
+    )
+
+
+@query("x_bpe_round", oracle=_BPE_ORACLE)
+def x_bpe_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic BPE merge round over the corpus (SURVEY §7.6.3 —
+    the tokenizer-construction step x_token_pmi points at): count adjacent
+    symbol pairs across the word-frequency table, elect the global argmax
+    pair (ties broken lexicographically on the pair text, so the merge is
+    identical on every engine/cluster/run), apply the merge greedily
+    left-to-right in every word, and emit the top-20 post-merge pair
+    counts with the elected pair alongside — the vocabulary delta the
+    next round would consume.
+
+    Tokens are [a-z]+ runs of the lowercased text, so the symbol alphabet
+    is closed (26 letters + the one merged symbol) and the chr(1) marker
+    that stands in for the merged pair during the re-split is
+    unreachable by construction — no hostile document content can forge
+    or collide with it. ``replace(word, pair, mark)`` IS the greedy
+    left-to-right non-overlapping merge (e.g. 'aaa' + pair 'aa' →
+    ['aa','a']), exactly BPE's application rule for a round-1 merge of
+    two single-char symbols.
+
+    Scale shape: the corpus-sized work is ONE explode + word count; the
+    vocabulary table everything after runs on is zipf-small relative to
+    the corpus and is PERSISTED for the report's duration (it feeds both
+    the pre-merge counts and the merge application — two consumers behind
+    different keys, the x_dedup_near precedent; without the persist each
+    re-scans the corpus). Both pair counts are map-side-combinable SUMs
+    over that table; the argmax is a 1-row sort-limit broadcast-attached
+    (crossJoin(broadcast) scalar convention); the top-20 is a
+    deterministic total-order limit over a <=(27^2)-row frame. The <=20-row
+    result is localCheckpoint-materialized so the cache releases eagerly.
+    At 100 TB the iterated-BPE driver persists the word table once and
+    replays merge rounds over it — each round is _bpe_report minus the
+    corpus scan."""
+    words = _bpe_words(load(spark, sf_dir, "documents")).persist()
+    out = _bpe_report(words).localCheckpoint()
+    words.unpersist()
+    return out

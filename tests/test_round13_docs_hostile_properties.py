@@ -40,6 +40,10 @@ _ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
     "x_sample_stratified",
     "x_shard_balance",
     "x_minhash_jaccard_est",
+    # r15 addition: documents-only, full oracle — rides this suite so the
+    # BPE tokenization ([a-z]+ over lower()) stays swept under NULL/empty
+    # text, unicode lowercasing, and empty-token manufacture
+    "x_bpe_round",
 )
 
 # -- corpus generator --------------------------------------------------------

@@ -210,3 +210,72 @@ def test_exact_decimal_sum_immune_to_partition_order(spark):
             .collect()
         }
         assert out == {"mix": 7, "over": None}, (sf_parts, out)
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_round pins (SURVEY §7.6.3)
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, d: str, texts) -> None:
+    rows = [
+        (i, t, "en", "src0", len(t) if t is not None else None)
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+
+def test_bpe_greedy_overlap_and_tiebreak(spark, tmp_path):
+    """The two semantic edges of a BPE merge round, checked via the oracle:
+    greedy left-to-right application on an overlapping run ('aaa' + pair
+    aa → [aa, a], never [a, aa]) and the deterministic lexicographic
+    tie-break when two pairs share the max count."""
+    d = str(tmp_path)
+    # 'aa' and 'ab' both occur 3 times; tie-break elects 'aa'.
+    # 'aaab': pairs aa,aa,ab -> after merging aa greedily: [aa, a, b]
+    _write_docs(spark, d, ["aaab aab", "ab aa", None, ""])
+    _oracle_parity(spark, d, ("x_bpe_round",))
+
+
+def test_bpe_degenerate_corpora(spark, tmp_path):
+    """Single-letter-words-only corpus (no pairs exist anywhere -> empty
+    report on both engines) and an all-null/empty corpus."""
+    d = str(tmp_path)
+    _write_docs(spark, d, ["a b c", "a a", None])
+    _oracle_parity(spark, d, ("x_bpe_round",))
+    _write_docs(spark, d, [None, ""])
+    _oracle_parity(spark, d, ("x_bpe_round",))
+
+
+def test_bpe_single_corpus_scan(spark, sf_dir):
+    """Scale contract: the word-frequency table feeds TWO consumers (the
+    argmax's pre-merge counts and the merge application), so it must be
+    read from the persisted cache on both sides — the corpus scan and the
+    word-count exchange run once, at cache materialization (the
+    x_dedup_near two-consumers precedent). The query fn itself returns a
+    checkpointed <=20-row frame, so the shape is asserted on the lazy
+    composition with the same persist in place."""
+    from reconciliation_hive_data_spark.catalog import load
+    from reconciliation_hive_data_spark.plans.corpus_ops import (
+        _bpe_report,
+        _bpe_words,
+    )
+
+    import re
+
+    from .test_plans import plan
+
+    words = _bpe_words(load(spark, sf_dir, "documents")).persist()
+    try:
+        p = plan(_bpe_report(words))
+        # both consumers hit the cache (tree + detail each print the node)
+        assert p.count("InMemoryTableScan") >= 2, p
+        # pre-agg, post-agg, and the single-partition top-20 window — the
+        # cached word count's own exchange runs once at materialization
+        assert len(re.findall(r"^\(\d+\) Exchange$", p, flags=re.M)) <= 4
+        assert "CartesianProduct" not in p
+    finally:
+        words.unpersist()
