@@ -642,9 +642,13 @@ _BPE_MARK = "\x01"
 
 _BPE_ORACLE = """
 WITH words AS (
-  SELECT w AS word, COUNT(*) AS wc
-  FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
-  GROUP BY w
+  -- ASCII-extract-then-lower (r15 soak): lower() BEFORE extraction is
+  -- engine-forked on special case mappings ('İ' -> 'i'+combining dot on
+  -- the JVM vs plain 'i' in utf8proc); lower() of a pure [a-zA-Z]+ token
+  -- is engine-invariant
+  SELECT lower(w) AS word, COUNT(*) AS wc
+  FROM documents, UNNEST(regexp_extract_all(text, '[a-zA-Z]+')) AS t(w)
+  GROUP BY 1
 ),
 pre AS (
   SELECT substr(word, CAST(i AS INT), 1) AS s1,
@@ -701,11 +705,24 @@ def _bpe_pairs(df: DataFrame, word_col: str) -> DataFrame:
 
 
 def _bpe_words(docs: DataFrame) -> DataFrame:
-    """Corpus → word-frequency table: the ONLY corpus-sized stage."""
+    """Corpus → word-frequency table: the ONLY corpus-sized stage.
+
+    Tokens are extracted from the RAW text as [a-zA-Z]+ runs and
+    lowercased AFTER extraction — never ``lower(text)`` first (r15 soak
+    find): Unicode case mapping is library-defined per engine, e.g.
+    'İ' (U+0130) lowercases to 'i' + COMBINING DOT in the JVM but to
+    plain ASCII 'i' in DuckDB's utf8proc, so pre-lowering forks the
+    token set ('i','stanbul' vs 'istanbul') and with it every pair
+    count. Extracting on the raw bytes keeps non-ASCII letters out of
+    the alphabet on BOTH engines identically, and lower() over a pure
+    ASCII token is engine-invariant by construction."""
     return (
         docs.select(
             F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+                F.expr(
+                    "transform(regexp_extract_all(text, '[a-zA-Z]+', 0),"
+                    " w -> lower(w))"
+                )
             ).alias("word")
         )
         .groupBy("word")
@@ -780,7 +797,9 @@ def x_bpe_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts with the elected pair alongside — the vocabulary delta the
     next round would consume.
 
-    Tokens are [a-z]+ runs of the lowercased text, so the symbol alphabet
+    Tokens are [a-zA-Z]+ runs of the RAW text lowercased after
+    extraction (engine-invariant — see _bpe_words for the 'İ' case-
+    mapping fork the pre-lowering form carried), so the symbol alphabet
     is closed (26 letters + the one merged symbol) and the chr(1) marker
     that stands in for the merged pair during the re-split is
     unreachable by construction — no hostile document content can forge

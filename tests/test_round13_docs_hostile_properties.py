@@ -41,8 +41,9 @@ _ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
     "x_shard_balance",
     "x_minhash_jaccard_est",
     # r15 addition: documents-only, full oracle — rides this suite so the
-    # BPE tokenization ([a-z]+ over lower()) stays swept under NULL/empty
-    # text, unicode lowercasing, and empty-token manufacture
+    # BPE tokenization (ASCII-extract-then-lower; immune to the
+    # case-mapping fork by construction) stays swept under NULL/empty
+    # text, unicode content, and empty-token manufacture
     "x_bpe_round",
 )
 
@@ -58,6 +59,16 @@ _TOKENS = [
     "日本語", "データ",                   # CJK multibyte
     "é", "å",                # combining accents (NFD)
     "x" * 64,                            # long token
+    # NOT in the pool, adjudicated out of the parity contract (r15, found
+    # by the x_bpe_round soak): characters with SPECIAL Unicode case
+    # mappings — 'İ' (U+0130: JVM lower → 'i'+COMBINING DOT vs utf8proc
+    # plain 'i'), Kelvin sign (U+212A), 'ẞ' (U+1E9E). Each engine's
+    # lower() is case-mapping-library-defined, so any lower(text)-keyed
+    # operator (x_text_tokens/tfidf/langid term text) forks on them — a
+    # parser-model divergence, same class as the NaN-token JSON fork.
+    # x_bpe_round is IMMUNE by construction (ASCII-extract-then-lower,
+    # pinned in test_round15_schema_evolve.py); the lower(text) family
+    # keeps these out of its pool.
 ]
 
 _TEXT = st.one_of(

@@ -279,3 +279,22 @@ def test_bpe_single_corpus_scan(spark, sf_dir):
         assert "CartesianProduct" not in p
     finally:
         words.unpersist()
+
+
+def test_bpe_unicode_case_mapping_immune(spark, tmp_path):
+    """r15 soak find, pinned: 'İ' (U+0130) lowercases to 'i' + COMBINING
+    DOT on the JVM but to plain ASCII 'i' in DuckDB's utf8proc, so a
+    lower(text)-BEFORE-extraction tokenizer forks the token set
+    ('i','stanbul' vs 'istanbul') and with it every pair count. The
+    ASCII-extract-then-lower form is engine-invariant: non-ASCII letters
+    never enter the alphabet, and lower() over [a-zA-Z]+ is exact on
+    both engines. Kelvin sign (U+212A) and ẞ (U+1E9E) ride along —
+    the same special-case-mapping class."""
+    d = str(tmp_path)
+    _write_docs(
+        spark,
+        d,
+        ["İstanbul İİ stan", "KKelvin kelvin",
+         "ẞharp strasse", "mixed İstanbul kelvin strasse"],
+    )
+    _oracle_parity(spark, d, ("x_bpe_round",))
