@@ -412,7 +412,13 @@ WITH per_src AS (
   FROM documents GROUP BY source
 ),
 denom AS (
-  SELECT list_reduce(list(sqrt(CAST(n_toks AS DOUBLE)) ORDER BY source), (x, y) -> x + y) AS z
+  -- NULLS LAST pinned explicitly (r15: the r14 ASC-null-order class in
+  -- its ARRAY-SIDE form — DuckDB's bare ORDER BY defaults nulls LAST
+  -- while Spark's array_sort put the NULL-source struct FIRST, so the
+  -- double fold rounded differently by one ulp whenever a NULL source
+  -- group exists)
+  SELECT list_reduce(list(sqrt(CAST(n_toks AS DOUBLE))
+                          ORDER BY source NULLS LAST), (x, y) -> x + y) AS z
   FROM per_src
 )
 SELECT p.source, p.n_toks,
@@ -438,8 +444,17 @@ def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_src = d.groupBy("source").agg(
         F.sum(F.size(F.split("text", " "))).alias("n_toks")
     )
+    # The leading is-null flag pins the NULL-source struct LAST in the
+    # array_sort (false < true), matching the oracle's NULLS LAST (r15:
+    # the r14 ASC-null-order divergence class in its array-side form —
+    # Spark's struct comparison put the NULL field FIRST, so the fold
+    # order — and the double rounding — forked on a NULL source group).
     denom = per_src.select(
-        F.struct("source", F.sqrt(F.col("n_toks").cast("double")).alias("r")).alias("s")
+        F.struct(
+            F.col("source").isNull().alias("k0"),
+            "source",
+            F.sqrt(F.col("n_toks").cast("double")).alias("r"),
+        ).alias("s")
     ).agg(
         F.aggregate(
             F.array_sort(F.collect_list("s")),

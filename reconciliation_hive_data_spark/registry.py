@@ -269,6 +269,18 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # mismatch as well).
     "recon_api_summary": 15,
     "recon_crossformat": 15,
+    # r15 full-suite hypothesis find: the r14 ASC-null-order class in its
+    # ARRAY-SIDE form — x_domain_mix's normalizer folded sqrt-weights over
+    # array_sort'd (source, r) structs where Spark's struct comparison put
+    # the NULL source FIRST and DuckDB's bare ORDER BY put it LAST, so the
+    # double sum rounded one ulp apart on corpora with a NULL source group
+    # and unlucky magnitudes. Both sides now pin NULLS LAST (leading
+    # is-null flag in the sort struct / explicit NULLS LAST in the
+    # oracle). Fixture sources are non-null → identical there; fronted
+    # per the rewrite rule. Engine-wide sweep of every other
+    # array_sort/list_reduce fold found only non-nullable keys (positions,
+    # the HLL register grid, fixed ranges).
+    "x_domain_mix": 15,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -298,3 +298,36 @@ def test_bpe_unicode_case_mapping_immune(spark, tmp_path):
          "ẞharp strasse", "mixed İstanbul kelvin strasse"],
     )
     _oracle_parity(spark, d, ("x_bpe_round",))
+
+
+def test_domain_mix_null_source_fold_order(spark, tmp_path):
+    """r15 full-suite hypothesis find, pinned deterministically: the
+    x_domain_mix normalizer folds sqrt-weights in SOURCE order, but with
+    a NULL source group Spark's array_sort put the NULL-field struct
+    FIRST while DuckDB's bare ORDER BY put it LAST — the r14
+    ASC-null-order divergence class in its ARRAY-SIDE form, which the
+    r14 orderBy audit's sweep missed. The double sum then rounds
+    differently by one ulp for value sets like this one (the pinned
+    hostile corpus has a NULL source too, but its magnitudes happen to
+    round identically under both orders — hence the explicit pin of the
+    falsifying set). Both engines now fold NULLS LAST."""
+    from .test_round13_docs_hostile_properties import (
+        _write_documents_nullable,
+    )
+
+    docs = [
+        (999990, "", "es", None),
+        (1_099_511_627_776, "  ", "zh", "src1"),
+        (-20, "alpha  beta  gamma  beta", "es", "src1"),
+        (0, "beta  42", None, "src1"),
+        (6, "  ", "es", None),
+        (10, "alpha  gamma  42  alpha  gamma", None, "src1"),
+        (7, " ", "en", None),
+        (-1, "alpha  gamma  42  beta  alpha", "es", "src1"),
+        (2, None, "en", "src0"),
+        (3, "alpha  42", "es", "src0"),
+        (1, " ", None, "src1"),
+    ]
+    d = str(tmp_path)
+    _write_documents_nullable(spark, d, docs)
+    _oracle_parity(spark, d, ("x_domain_mix",))
