@@ -825,3 +825,213 @@ def x_bpe_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _bpe_report(words).localCheckpoint()
     words.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_rounds_n — N=3 unrolled BPE merge rounds (round 15, §7.6.4)
+# ---------------------------------------------------------------------------
+
+#: per-round merged-symbol markers — chr(1..3); the [a-z]-closed token
+#: alphabet keeps every marker unforgeable by content, and 'ZZ' (uppercase
+#: never survives the lowercasing) is the never-matching replace sentinel
+#: that turns a no-merge round into the identity
+_BPE_N = 3
+_BPE_SENTINEL = "ZZ"
+
+_BPE_PAIRS_SQL = """
+  SELECT substr(word, CAST(i AS INT), 1) AS s1,
+         substr(word, CAST(i AS INT) + 1, 1) AS s2,
+         SUM(wc) AS cnt
+  FROM {src}, UNNEST(range(1, length(word))) AS g(i)
+  GROUP BY 1, 2
+"""
+
+_BPE_ROUND_SQL = """
+pre{k} AS ({pairs}),
+b{k} AS (
+  SELECT t.s1, t.s2, t.cnt FROM (VALUES (1)) anchor(x)
+  LEFT JOIN (SELECT s1, s2, cnt FROM pre{k}
+             ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1) t ON TRUE
+),
+m{k} AS (
+  SELECT replace(w.word, coalesce(b.s1 || b.s2, 'ZZ'), chr({k})) AS word,
+         w.wc
+  FROM {src} w CROSS JOIN b{k} b
+)"""
+
+
+def _bpe_n_oracle() -> str:
+    """Three unrolled merge-round CTE blocks + expansion of the marker
+    alphabet back to letter text for the report (reverse marker order, so
+    a later merge's definition may reference earlier markers)."""
+    blocks = []
+    src = "words"
+    for k in range(1, _BPE_N + 1):
+        blocks.append(
+            _BPE_ROUND_SQL.format(
+                k=k, src=src, pairs=_BPE_PAIRS_SQL.format(src=src)
+            )
+        )
+        src = f"m{k}"
+    expand = "{col}"
+    for k in range(_BPE_N, 0, -1):
+        expand = (
+            f"replace({expand}, chr({k}), coalesce(e{k}, '{_BPE_SENTINEL}'))"
+        )
+    merges = "\n  UNION ALL ".join(
+        f"SELECT 'merge' AS kind, {k} AS rn, s1, s2, cnt FROM b{k}"
+        f" WHERE s1 IS NOT NULL"
+        for k in range(1, _BPE_N + 1)
+    )
+    etabs = "\n".join(
+        f"CROSS JOIN (SELECT s1 || s2 AS e{k} FROM b{k}) x{k}"
+        for k in range(1, _BPE_N + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT lower(w) AS word, COUNT(*) AS wc
+  FROM documents, UNNEST(regexp_extract_all(text, '[a-zA-Z]+')) AS t(w)
+  GROUP BY 1
+),
+{",".join(blocks)},
+post AS (
+  SELECT s1, s2, cnt,
+         row_number() OVER (ORDER BY cnt DESC, s1 ASC, s2 ASC) AS rn
+  FROM ({_BPE_PAIRS_SQL.format(src=f"m{_BPE_N}")})
+),
+raw AS (
+  {merges}
+  UNION ALL SELECT 'pair', rn, s1, s2, cnt FROM post WHERE rn <= 20
+)
+SELECT r.kind, CAST(r.rn AS BIGINT) AS rn,
+       {expand.format(col="r.s1")} AS s1,
+       {expand.format(col="r.s2")} AS s2,
+       CAST(r.cnt AS BIGINT) AS cnt
+FROM raw r
+{etabs}
+"""
+
+
+_BPE_N_ORACLE = _bpe_n_oracle()
+
+
+def _bpe_best(pre: DataFrame) -> DataFrame:
+    """Deterministic argmax as a 1-ROW AGGREGATE (cnt DESC, then the
+    marker-space pair text ASC — a total order, since (s1, s2) is the
+    group key): ``min_by`` over (-cnt, s1, s2). The agg form (vs
+    orderBy.limit(1)) is load-bearing for degenerate corpora: a round with
+    NO pairs yields one NULL-fielded row, so the downstream
+    crossJoin-attach stays 1-row and earlier rounds' results survive
+    (a limit(1) empty frame would cascade-empty everything it touches)."""
+    return pre.agg(
+        F.min_by(
+            F.struct("s1", "s2", "cnt"),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("s1"), F.col("s2")),
+        ).alias("b")
+    ).select(
+        F.col("b.s1").alias("s1"),
+        F.col("b.s2").alias("s2"),
+        F.col("b.cnt").alias("cnt"),
+    )
+
+
+def _bpe_apply(cur: DataFrame, best: DataFrame, mark: str) -> DataFrame:
+    """Greedy left-to-right merge of the elected pair in marker space —
+    ``replace`` over the 2-char marker-form pair (the §7.6.4 risk note:
+    round ≥ 2 pairs have multi-char EXPANDED sides, but in marker space
+    every symbol is one char, so single-string replace stays exact). A
+    NULL election (no pairs) coalesces to the never-matching sentinel,
+    making the round the identity instead of emptying the vocabulary."""
+    return cur.crossJoin(F.broadcast(best)).select(
+        F.expr(
+            f"replace(word, coalesce(concat(s1, s2), '{_BPE_SENTINEL}'),"
+            f" '{mark}')"
+        ).alias("word"),
+        "wc",
+    )
+
+
+@query("x_bpe_rounds_n", oracle=_BPE_N_ORACLE)
+def x_bpe_rounds_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N=3 unrolled BPE merge rounds (SURVEY §7.6.4) — x_bpe_round
+    iterated: each round counts adjacent marker-space symbol pairs over
+    the word-frequency table, elects the argmax (cnt DESC, marker-space
+    pair text ASC — markers sort before letters, so ties prefer pairs
+    touching earlier merges; deterministic on both engines, binary
+    collation over [a-z] + chr(1..3)), and applies the merge by rewriting
+    the elected 2-char sequence to the round's own marker chr(k) — a
+    marker PER merged symbol, so round-2/3 pairs whose sides are
+    themselves merged symbols stay single-char replaces. Output: the
+    ordered merge list (kind='merge', rn = round, sides + count at
+    election) plus the final top-20 post-merge pair counts (kind='pair'),
+    both with markers EXPANDED back to letter text (reverse marker order,
+    since later merges' definitions reference earlier markers).
+
+    Scale shape: the corpus-sized work is ONE explode + word count into
+    the persisted zipf-small vocabulary table (x_bpe_round's contract);
+    each round's marker-form table is persisted because it feeds two
+    consumers (the next election's pair counts and the next merge
+    application), every pair count is a map-side-combinable SUM, each
+    election is a 1-row aggregate broadcast-attached, and the report is
+    a ≤ 23-row frame materialized by localCheckpoint before the caches
+    release. This is the real tokenizer-construction loop at fixed N —
+    at 100 TB the driver replays rounds over the persisted word table
+    and the corpus is never re-read."""
+    words = _bpe_words(load(spark, sf_dir, "documents")).persist()
+    cached = [words]
+    bests = []
+    cur = words
+    for k in range(1, _BPE_N + 1):
+        pre = _bpe_pairs(cur, "word").agg(F.sum("wc").alias("cnt"))
+        best = _bpe_best(pre).persist()
+        bests.append(best)
+        cached.append(best)
+        cur = _bpe_apply(cur, best, chr(k))
+        if k < _BPE_N:  # the last marker table has a single consumer
+            cur = cur.persist()
+            cached.append(cur)
+    post = _bpe_pairs(cur, "word").agg(F.sum("wc").alias("cnt"))
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc()
+    )
+    pairs20 = (
+        post.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select(F.lit("pair").alias("kind"), "rn", "s1", "s2", "cnt")
+    )
+    merges = None
+    for k, b in enumerate(bests, 1):
+        r = b.filter(F.col("s1").isNotNull()).select(
+            F.lit("merge").alias("kind"),
+            F.lit(k).cast("bigint").alias("rn"),
+            "s1",
+            "s2",
+            "cnt",
+        )
+        merges = r if merges is None else merges.unionByName(r)
+    raw = merges.unionByName(pairs20)
+    for k, b in enumerate(bests, 1):
+        raw = raw.crossJoin(
+            F.broadcast(b.select(F.concat("s1", "s2").alias(f"e{k}")))
+        )
+
+    def expand(col: str) -> F.Column:
+        x = F.col(col)
+        for k in range(_BPE_N, 0, -1):
+            x = F.replace(
+                x,
+                F.lit(chr(k)),
+                F.coalesce(F.col(f"e{k}"), F.lit(_BPE_SENTINEL)),
+            )
+        return x
+
+    out = raw.select(
+        "kind",
+        "rn",
+        expand("s1").alias("s1"),
+        expand("s2").alias("s2"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).localCheckpoint()
+    for c in cached:
+        c.unpersist()
+    return out

@@ -1008,3 +1008,186 @@ def recon_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_null_real"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_partition_evolve — partition-layout migration audit (round 15, §7.6.5)
+# ---------------------------------------------------------------------------
+
+_PE_ORACLE = """
+WITH v AS (
+  SELECT CASE WHEN ((o_orderkey % 2) + 2) % 2 = 0 THEN 'v1' ELSE 'v2' END
+           AS vintage,
+         -- the derived month key; lexicographic == chronological for
+         -- 4-digit years, so string MIN/MAX bound the calendar exactly
+         strftime(o_orderdate, '%Y-%m') AS m
+  FROM orders
+),
+landed AS (
+  SELECT m,
+         COUNT(*) FILTER (WHERE vintage = 'v1') AS n_v1,
+         COUNT(*) FILTER (WHERE vintage = 'v2') AS n_v2
+  FROM v GROUP BY 1
+),
+bounds AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM landed WHERE m IS NOT NULL),
+cal AS (
+  SELECT strftime(unnest(generate_series(CAST(mn || '-01' AS DATE),
+                                         CAST(mx || '-01' AS DATE),
+                                         INTERVAL 1 MONTH)), '%Y-%m') AS m
+  FROM bounds WHERE mn IS NOT NULL
+)
+SELECT COALESCE(c.m, l.m) AS o_month,
+       CAST(COALESCE(l.n_v1, 0) AS BIGINT) AS n_v1,
+       CAST(COALESCE(l.n_v2, 0) AS BIGINT) AS n_v2,
+       CAST(COALESCE(l.n_v1, 0) + COALESCE(l.n_v2, 0) AS BIGINT) AS n_rows,
+       -- the oracle pins ZERO drift: a hash-pass proves the written v2
+       -- directory keys equal the data-derived months (sink_compact
+       -- precedent — the on-disk layout must honor the write contract)
+       CAST(0 AS BIGINT) AS n_key_drift,
+       CASE WHEN COALESCE(c.m, l.m) IS NULL THEN 'NULL_KEY'
+            WHEN COALESCE(l.n_v1, 0) + COALESCE(l.n_v2, 0) = 0 THEN 'MISSING'
+            WHEN COALESCE(l.n_v1, 0) = 0 THEN 'V2_ONLY'
+            WHEN COALESCE(l.n_v2, 0) = 0 THEN 'V1_ONLY'
+            ELSE 'MIXED' END AS status
+FROM cal c FULL OUTER JOIN landed l ON c.m = l.m
+"""
+
+#: columns both vintages carry in their data files (v2 additionally carries
+#: the o_month partition directory key)
+_PE_DATA_COLS = ("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+_PE_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+    " o_totalprice double"
+)
+
+
+def _pe_month(col: str = "o_orderdate") -> F.Column:
+    """The derived partition key a date-partitioned layout is keyed by."""
+    return F.date_format(col, "yyyy-MM")
+
+
+@query("recon_partition_evolve", oracle=_PE_ORACLE)
+def recon_partition_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout migration audit (SURVEY §7.6.5) — the partition-
+    dimension sibling of recon_schema_evolve: the same table exists in two
+    LAYOUT vintages (v1: the legacy unpartitioned dump; v2: the migrated
+    Hive-style layout partitioned by a derived month key), and the audit
+    reconciles the two against the month calendar:
+
+      (o_month, n_v1, n_v2, n_rows, n_key_drift, status)
+
+    with status ∈ NULL_KEY (rows whose month key is NULL — v2 spills them
+    into the __HIVE_DEFAULT_PARTITION__ directory, v1 derives NULL),
+    MISSING (a calendar month no vintage landed), V1_ONLY / V2_ONLY /
+    MIXED. ``n_key_drift`` counts v2 rows whose DIRECTORY key disagrees
+    with the month re-derived from the row's own data — the check that the
+    migration's layout actually honors its key derivation (the oracle pins
+    it at zero from the source table, so a single mis-bucketed file fails
+    the hash — the sink_compact convention). The two layouts CANNOT be
+    read under one root (Spark rejects mixed partition depths), which is
+    exactly the real-world shape: the audit reads each layout root with
+    its own scan and unions the narrow (month, vintage, drift)
+    projections — the wide row never crosses a shuffle.
+
+    The vintage split is the family's deterministic pmod key split (NULL
+    keys ride with the odd keys into v2 — complement-keeps-NULL, the r14
+    s_checkpoint_resume class), so the oracle re-derives every count from
+    the source table alone; a real migration cuts over on a date instead,
+    and the audit is split-agnostic. Scale shape: ONE data-sized exchange
+    (the groupBy(month × vintage-partials) count, map-side combinable);
+    the calendar is a 1-row bounds agg exploded months-sized
+    (recon_partition_complete precedent), and the final full-outer join
+    runs on two months-sized frames. Out of scope, documented: years
+    outside 1000-9999 (the two engines' year formatting/padding diverges
+    there, and 'yyyy-MM' string order stops being chronological)."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    root = (
+        f"/tmp/rhds_sinks/{os.path.basename(sf_dir.rstrip('/'))}"
+        "/orders_part_layouts"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = load(spark, sf_dir, "orders")
+    even = F.pmod(F.col("o_orderkey"), 2) == 0
+    src.filter(even).select(*_PE_DATA_COLS).write.mode("overwrite").parquet(
+        f"{root}/v1"
+    )
+    src.filter(~even | even.isNull()).select(
+        *_PE_DATA_COLS, _pe_month().alias("o_month")
+    ).write.mode("overwrite").partitionBy("o_month").parquet(f"{root}/v2")
+
+    def read_back(path: str, with_month: bool) -> DataFrame:
+        schema = _PE_SCHEMA + (", o_month string" if with_month else "")
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:  # fileless vintage (empty side)
+            return spark.createDataFrame([], schema)
+        if with_month and "o_month" not in df.columns:
+            # an all-NULL-key v2 writes ONLY the default partition dir;
+            # discovery then sees no partition column at all
+            df = df.withColumn("o_month", F.lit(None).cast("string"))
+        return df
+
+    zero = F.lit(0).cast("bigint")
+    v1 = read_back(f"{root}/v1", with_month=False).select(
+        _pe_month().alias("m"),
+        F.lit("v1").alias("vintage"),
+        zero.alias("drift"),
+    )
+    v2 = read_back(f"{root}/v2", with_month=True).select(
+        F.col("o_month").alias("m"),
+        F.lit("v2").alias("vintage"),
+        # directory key vs data-derived key — NULL==NULL is agreement
+        # (a NULL date can only land in the default partition)
+        F.when(~F.col("o_month").eqNullSafe(_pe_month()), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("drift"),
+    )
+    landed = (
+        v1.unionByName(v2)
+        .groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("vintage") == "v1", 1).otherwise(0)).alias(
+                "n_v1"
+            ),
+            F.sum(F.when(F.col("vintage") == "v2", 1).otherwise(0)).alias(
+                "n_v2"
+            ),
+            F.sum("drift").alias("n_drift"),
+        )
+    )
+    bounds = landed.filter(F.col("m").isNotNull()).agg(
+        F.min("m").alias("mn"), F.max("m").alias("mx")
+    )
+    cal = bounds.select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.concat("mn", F.lit("-01"))),
+                F.to_date(F.concat("mx", F.lit("-01"))),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("d")
+    ).select(F.date_format("d", "yyyy-MM").alias("cm"))
+    # calendar months are never NULL, so plain equality routes the landed
+    # NULL-month (spill) row to its own unmatched full-outer row
+    j = cal.join(landed, cal["cm"] == landed["m"], "full_outer")
+    month = F.coalesce("cm", "m")
+    n_v1 = F.coalesce("n_v1", zero)
+    n_v2 = F.coalesce("n_v2", zero)
+    return j.select(
+        month.alias("o_month"),
+        n_v1.cast("bigint").alias("n_v1"),
+        n_v2.cast("bigint").alias("n_v2"),
+        (n_v1 + n_v2).cast("bigint").alias("n_rows"),
+        F.coalesce("n_drift", zero).cast("bigint").alias("n_key_drift"),
+        F.when(month.isNull(), "NULL_KEY")
+        .when(n_v1 + n_v2 == 0, "MISSING")
+        .when(n_v1 == 0, "V2_ONLY")
+        .when(n_v2 == 0, "V1_ONLY")
+        .otherwise("MIXED")
+        .alias("status"),
+    )

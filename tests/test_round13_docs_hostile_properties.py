@@ -45,6 +45,11 @@ _ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
     # case-mapping fork by construction) stays swept under NULL/empty
     # text, unicode content, and empty-token manufacture
     "x_bpe_round",
+    # r15 second slot: the N=3 unrolled sibling shares the tokenizer and
+    # inherits the same sweep (NULL/empty text, unicode content, empty
+    # tokens); its marker-space edges are pinned in
+    # test_round15_partition_evolve_bpe_n.py
+    "x_bpe_rounds_n",
 )
 
 # -- corpus generator --------------------------------------------------------
