@@ -860,10 +860,11 @@ m{k} AS (
 )"""
 
 
-def _bpe_n_oracle() -> str:
-    """Three unrolled merge-round CTE blocks + expansion of the marker
-    alphabet back to letter text for the report (reverse marker order, so
-    a later merge's definition may reference earlier markers)."""
+def _bpe_rounds_cte_prefix() -> str:
+    """The shared oracle machinery: words CTE + three unrolled merge-round
+    blocks (pre{k}/b{k}/m{k}) — everything up to (not including) the
+    report-specific tail. Shared by x_bpe_rounds_n and x_bpe_apply so the
+    two oracles can never drift on the learned merges."""
     blocks = []
     src = "words"
     for k in range(1, _BPE_N + 1):
@@ -873,27 +874,43 @@ def _bpe_n_oracle() -> str:
             )
         )
         src = f"m{k}"
-    expand = "{col}"
-    for k in range(_BPE_N, 0, -1):
-        expand = (
-            f"replace({expand}, chr({k}), coalesce(e{k}, '{_BPE_SENTINEL}'))"
-        )
-    merges = "\n  UNION ALL ".join(
-        f"SELECT 'merge' AS kind, {k} AS rn, s1, s2, cnt FROM b{k}"
-        f" WHERE s1 IS NOT NULL"
-        for k in range(1, _BPE_N + 1)
-    )
-    etabs = "\n".join(
-        f"CROSS JOIN (SELECT s1 || s2 AS e{k} FROM b{k}) x{k}"
-        for k in range(1, _BPE_N + 1)
-    )
     return f"""
 WITH words AS (
   SELECT lower(w) AS word, COUNT(*) AS wc
   FROM documents, UNNEST(regexp_extract_all(text, '[a-zA-Z]+')) AS t(w)
   GROUP BY 1
 ),
-{",".join(blocks)},
+{",".join(blocks)}"""
+
+
+def _bpe_expand_sql() -> str:
+    """SQL expansion template ({col} placeholder): markers replaced in
+    reverse order, since a later merge's definition may reference earlier
+    markers."""
+    expand = "{col}"
+    for k in range(_BPE_N, 0, -1):
+        expand = (
+            f"replace({expand}, chr({k}), coalesce(e{k}, '{_BPE_SENTINEL}'))"
+        )
+    return expand
+
+
+_BPE_EXPAND_TABS = "\n".join(
+    f"CROSS JOIN (SELECT s1 || s2 AS e{k} FROM b{k}) x{k}"
+    for k in range(1, _BPE_N + 1)
+)
+
+
+def _bpe_n_oracle() -> str:
+    """Rounds prefix + the merge-list/top-20 report tail."""
+    expand = _bpe_expand_sql()
+    merges = "\n  UNION ALL ".join(
+        f"SELECT 'merge' AS kind, {k} AS rn, s1, s2, cnt FROM b{k}"
+        f" WHERE s1 IS NOT NULL"
+        for k in range(1, _BPE_N + 1)
+    )
+    return f"""
+{_bpe_rounds_cte_prefix()},
 post AS (
   SELECT s1, s2, cnt,
          row_number() OVER (ORDER BY cnt DESC, s1 ASC, s2 ASC) AS rn
@@ -908,7 +925,7 @@ SELECT r.kind, CAST(r.rn AS BIGINT) AS rn,
        {expand.format(col="r.s2")} AS s2,
        CAST(r.cnt AS BIGINT) AS cnt
 FROM raw r
-{etabs}
+{_BPE_EXPAND_TABS}
 """
 
 
@@ -951,6 +968,50 @@ def _bpe_apply(cur: DataFrame, best: DataFrame, mark: str) -> DataFrame:
     )
 
 
+def _bpe_learn(
+    words: DataFrame,
+) -> tuple[DataFrame, list[DataFrame], list[DataFrame]]:
+    """Run the _BPE_N merge rounds over the (already persisted) word
+    table. Returns (final marker-form table — persisted, every caller has
+    at least one downstream consumer pair —, the per-round 1-row election
+    frames, the list of every frame this call persisted so the caller can
+    unpersist after materializing its report)."""
+    cached: list[DataFrame] = []
+    bests: list[DataFrame] = []
+    cur = words
+    for k in range(1, _BPE_N + 1):
+        pre = _bpe_pairs(cur, "word").agg(F.sum("wc").alias("cnt"))
+        best = _bpe_best(pre).persist()
+        bests.append(best)
+        cached.append(best)
+        cur = _bpe_apply(cur, best, chr(k)).persist()
+        cached.append(cur)
+    return cur, bests, cached
+
+
+def _bpe_attach_expansions(df: DataFrame, bests: list[DataFrame]) -> DataFrame:
+    """Broadcast-attach each round's merged-pair text (e1..e{N}) so
+    _bpe_expand_col can rewrite marker chars back to letter text."""
+    for k, b in enumerate(bests, 1):
+        df = df.crossJoin(
+            F.broadcast(b.select(F.concat("s1", "s2").alias(f"e{k}")))
+        )
+    return df
+
+
+def _bpe_expand_col(col: str) -> F.Column:
+    """Marker → letter-text expansion (reverse marker order; a NULL
+    election coalesces to the never-matching sentinel)."""
+    x = F.col(col)
+    for k in range(_BPE_N, 0, -1):
+        x = F.replace(
+            x,
+            F.lit(chr(k)),
+            F.coalesce(F.col(f"e{k}"), F.lit(_BPE_SENTINEL)),
+        )
+    return x
+
+
 @query("x_bpe_rounds_n", oracle=_BPE_N_ORACLE)
 def x_bpe_rounds_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N=3 unrolled BPE merge rounds (SURVEY §7.6.4) — x_bpe_round
@@ -978,18 +1039,8 @@ def x_bpe_rounds_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the driver replays rounds over the persisted word table
     and the corpus is never re-read."""
     words = _bpe_words(load(spark, sf_dir, "documents")).persist()
-    cached = [words]
-    bests = []
-    cur = words
-    for k in range(1, _BPE_N + 1):
-        pre = _bpe_pairs(cur, "word").agg(F.sum("wc").alias("cnt"))
-        best = _bpe_best(pre).persist()
-        bests.append(best)
-        cached.append(best)
-        cur = _bpe_apply(cur, best, chr(k))
-        if k < _BPE_N:  # the last marker table has a single consumer
-            cur = cur.persist()
-            cached.append(cur)
+    cur, bests, cached = _bpe_learn(words)
+    cached.append(words)
     post = _bpe_pairs(cur, "word").agg(F.sum("wc").alias("cnt"))
     w = Window.orderBy(
         F.col("cnt").desc(), F.col("s1").asc(), F.col("s2").asc()
@@ -1009,29 +1060,138 @@ def x_bpe_rounds_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
         merges = r if merges is None else merges.unionByName(r)
-    raw = merges.unionByName(pairs20)
-    for k, b in enumerate(bests, 1):
-        raw = raw.crossJoin(
-            F.broadcast(b.select(F.concat("s1", "s2").alias(f"e{k}")))
-        )
-
-    def expand(col: str) -> F.Column:
-        x = F.col(col)
-        for k in range(_BPE_N, 0, -1):
-            x = F.replace(
-                x,
-                F.lit(chr(k)),
-                F.coalesce(F.col(f"e{k}"), F.lit(_BPE_SENTINEL)),
-            )
-        return x
-
+    raw = _bpe_attach_expansions(merges.unionByName(pairs20), bests)
     out = raw.select(
         "kind",
         "rn",
-        expand("s1").alias("s1"),
-        expand("s2").alias("s2"),
+        _bpe_expand_col("s1").alias("s1"),
+        _bpe_expand_col("s2").alias("s2"),
         F.col("cnt").cast("bigint").alias("cnt"),
     ).localCheckpoint()
+    for c in cached:
+        c.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_apply — tokenize the corpus with the learned merges (round 15, §7.6.7)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_ORACLE = f"""
+{_bpe_rounds_cte_prefix()},
+tok AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS sym, SUM(wc) AS cnt
+  FROM m{_BPE_N}, UNNEST(range(1, length(word) + 1)) AS g(i)
+  GROUP BY 1
+),
+tokx AS (
+  SELECT {_bpe_expand_sql().format(col="t.sym")} AS token, SUM(t.cnt) AS cnt
+  FROM tok t
+  {_BPE_EXPAND_TABS}
+  GROUP BY 1
+),
+top AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token ASC) AS rn
+  FROM tokx
+),
+stats AS (
+  SELECT COALESCE((SELECT SUM(length(word) * wc) FROM m{_BPE_N}), 0)
+           AS total_tokens,
+         COALESCE((SELECT SUM(length(word) * wc) FROM words), 0)
+           AS total_chars
+)
+SELECT 'token' AS kind, CAST(rn AS BIGINT) AS rn, token,
+       CAST(cnt AS BIGINT) AS cnt
+FROM top WHERE rn <= 20
+UNION ALL
+SELECT 'stat', 0, 'total_tokens', CAST(total_tokens AS BIGINT) FROM stats
+UNION ALL
+SELECT 'stat', 0, 'total_chars', CAST(total_chars AS BIGINT) FROM stats
+"""
+
+
+@query("x_bpe_apply", oracle=_BPE_APPLY_ORACLE)
+def x_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus WITH the learned BPE merges (SURVEY §7.6.7) —
+    the consumer of x_bpe_rounds_n's merge list: after the three learn
+    rounds, each word's marker-space form IS its tokenization (one symbol
+    per character: a letter or a merged-pair marker), so the report is
+
+      kind='token', rn 1..20 — the top post-BPE token frequencies across
+        the corpus (symbol occurrences weighted by word frequency,
+        grouped by the token's SURFACE text, markers expanded), ordered
+        (cnt DESC, token ASC);
+      kind='stat' — total_tokens (corpus symbol count after the merges)
+        vs total_chars (before), the compression the three merges buy.
+
+    Surface-text grouping is the pinned semantic: two distinct merge
+    identities can share a surface ('a'+chr1 vs chr2 when chr1='aa',
+    chr2=('a',chr1) — both 'aaa'-adjacent shapes), and a frequency
+    report over surface strings folds them identically on both engines;
+    tokenizer IDs are a vocabulary-table concern, not a corpus-frequency
+    one. Words are never empty ([a-zA-Z]+ extraction; replace keeps >= 1
+    symbol), so the per-symbol ``sequence(1, length)`` never descends
+    (the shingles3 abort class).
+
+    Scale shape: the learn loop is x_bpe_rounds_n's (one corpus scan into
+    the persisted word table, vocab-sized rounds); tokenization adds ONE
+    more vocab-sized explode (symbols per marker word) into a
+    map-side-combinable count over a <=29-symbol frame — the corpus is
+    still read once. Both stats are 1-row aggregates over persisted
+    vocab-sized tables; the report is <=22 rows, localCheckpoint-
+    materialized before the caches release."""
+    words = _bpe_words(load(spark, sf_dir, "documents")).persist()
+    cur, bests, cached = _bpe_learn(words)
+    cached.append(words)
+    syms = (
+        cur.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("sym"),
+        )
+        .groupBy("sym")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    tokx = (
+        _bpe_attach_expansions(syms, bests)
+        .select(_bpe_expand_col("sym").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    top = (
+        tokx.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.lit("token").alias("kind"),
+            "rn",
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )
+
+    def stat(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.coalesce(F.sum(F.length("word") * F.col("wc")), F.lit(0))
+            .cast("bigint")
+            .alias("cnt")
+        ).select(
+            F.lit("stat").alias("kind"),
+            F.lit(0).cast("bigint").alias("rn"),
+            F.lit(label).alias("token"),
+            "cnt",
+        )
+
+    out = (
+        top.unionByName(stat(cur, "total_tokens"))
+        .unionByName(stat(words, "total_chars"))
+        .localCheckpoint()
+    )
     for c in cached:
         c.unpersist()
     return out

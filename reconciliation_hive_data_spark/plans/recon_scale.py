@@ -1191,3 +1191,133 @@ def recon_partition_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("MIXED")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_layout_compact — layout-migration file-locality audit (round 15,
+# §7.6.6)
+# ---------------------------------------------------------------------------
+
+_LC_SHARDS = 4
+
+_LC_ORACLE = f"""
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         ((o_orderkey % {_LC_SHARDS}) + {_LC_SHARDS}) % {_LC_SHARDS} AS shard
+  FROM orders
+)
+SELECT m AS o_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_v1,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_v2,
+       -- v1 files touched by a month-predicate query: one file per shard
+       -- dir (the write contract), so it is the month's distinct shard
+       -- count (+ the default dir when NULL keys land in the month)
+       CAST(COUNT(DISTINCT shard)
+            + MAX(CASE WHEN shard IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS v1_files,
+       CAST(1 AS BIGINT) AS v2_files,
+       CASE WHEN m IS NULL THEN 'NULL_KEY'
+            WHEN COUNT(DISTINCT shard)
+                 + MAX(CASE WHEN shard IS NULL THEN 1 ELSE 0 END) > 1
+              THEN 'IMPROVED'
+            ELSE 'EQUAL' END AS verdict
+FROM m GROUP BY 1
+"""
+
+
+@query("recon_layout_compact", oracle=_LC_ORACLE)
+def recon_layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-migration file-locality audit (SURVEY §7.6.6) —
+    recon_partition_evolve's month grain joined with sink_compact's
+    PHYSICAL file-inventory grain: the same orders table written under
+    both layout vintages (v1: the legacy shard-only layout,
+    ``shard = pmod(key, 4)`` — deterministic placement but month-blind;
+    v2: the migrated month-partitioned layout), each file inventory read
+    back via ``input_file_name()``, and the report says — per month —
+    how many data files a month-predicate query must touch under each
+    layout:
+
+      (o_month, n_rows_v1, n_rows_v2, v1_files, v2_files, verdict)
+
+    with verdict IMPROVED when the migration actually buys locality
+    (v1 scatters the month over >1 shard file; v2 pins it to one),
+    EQUAL when the month was already single-file, NULL_KEY for the
+    default-partition spill. The oracle re-derives EVERY number from the
+    source table's key arithmetic — v1_files as the month's distinct
+    shard count, v2_files as the literal 1 — so a hash-pass proves both
+    on-disk layouts honor their write contracts (one file per directory:
+    a pre-write ``repartition`` on the partition key puts each dir's
+    rows in exactly one task — the sink_compact discipline; bare
+    ``repartition(n)`` placement would be partitioner-private and
+    unverifiable, the §7.6.6 vet-note risk).
+
+    Scale shape: two inventory scans, each contributing one
+    map-side-combinable (month × file) count — the countDistinct runs on
+    a months×files-sized frame, the wide row never shuffles; the final
+    month-grain full-outer join runs on two months-sized aggregates. At
+    100 TB this is the audit that prices the migration: the v1 column IS
+    the scan amplification every month-scoped query pays until cutover."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    root = (
+        f"/tmp/rhds_sinks/{os.path.basename(sf_dir.rstrip('/'))}"
+        "/orders_layout_compact"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = load(spark, sf_dir, "orders")
+    v1w = src.withColumn("shard", F.pmod("o_orderkey", F.lit(_LC_SHARDS)))
+    v1w.repartition("shard").write.mode("overwrite").partitionBy(
+        "shard"
+    ).parquet(f"{root}/v1")
+    v2w = src.withColumn("o_month", _pe_month())
+    v2w.repartition("o_month").write.mode("overwrite").partitionBy(
+        "o_month"
+    ).parquet(f"{root}/v2")
+
+    def inventory(path: str, month_col) -> DataFrame:
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:  # fileless layout (empty source)
+            return spark.createDataFrame([], "m string, n bigint, f bigint")
+        return (
+            df.select(
+                month_col(df).alias("m"),
+                F.input_file_name().alias("fname"),
+            )
+            .groupBy("m")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("fname").alias("f"),
+            )
+        )
+
+    # v1 is month-blind: the audit re-derives the would-be key from data;
+    # v2's directory key IS the layout truth (drift belongs to
+    # recon_partition_evolve)
+    inv1 = inventory(f"{root}/v1", lambda df: _pe_month())
+    inv2 = inventory(
+        f"{root}/v2",
+        lambda df: F.col("o_month")
+        if "o_month" in df.columns
+        else F.lit(None).cast("string"),
+    )
+    j = inv1.alias("a").join(
+        inv2.alias("b"), F.col("a.m").eqNullSafe(F.col("b.m")), "full_outer"
+    )
+    zero = F.lit(0).cast("bigint")
+    month = F.coalesce("a.m", "b.m")
+    v1f = F.coalesce("a.f", zero)
+    return j.select(
+        month.alias("o_month"),
+        F.coalesce("a.n", zero).cast("bigint").alias("n_rows_v1"),
+        F.coalesce("b.n", zero).cast("bigint").alias("n_rows_v2"),
+        v1f.cast("bigint").alias("v1_files"),
+        F.coalesce("b.f", zero).cast("bigint").alias("v2_files"),
+        F.when(month.isNull(), "NULL_KEY")
+        .when(v1f > 1, "IMPROVED")
+        .otherwise("EQUAL")
+        .alias("verdict"),
+    )

@@ -266,10 +266,11 @@ _RECON_ALL_ORDERS = _RECON_QUERIES + (
     "recon_sample_audit",
     "recon_bucket_hash",
     "recon_bucket_drill",
-    # r15 second slot: the layout-migration audit reads orders only; the
-    # family's fault corpus adds NULL-price/priority shapes to its own
-    # pinned pool (test_round15_partition_evolve_bpe_n.py)
+    # r15 second slot: the layout-migration audits read orders only; the
+    # family's fault corpus adds NULL-price/priority shapes to their own
+    # pinned pools (test_round15_partition_evolve_bpe_n.py)
     "recon_partition_evolve",
+    "recon_layout_compact",
 )
 
 

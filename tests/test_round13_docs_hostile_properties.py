@@ -50,6 +50,9 @@ _ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
     # tokens); its marker-space edges are pinned in
     # test_round15_partition_evolve_bpe_n.py
     "x_bpe_rounds_n",
+    # r15 third slot: the tokenize-with-learned-merges consumer shares
+    # the same tokenizer and learn loop
+    "x_bpe_apply",
 )
 
 # -- corpus generator --------------------------------------------------------

@@ -273,3 +273,146 @@ def test_bpe_n_single_corpus_scan(spark, sf_dir):
         assert "CartesianProduct" not in p
     finally:
         words.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# recon_layout_compact (§7.6.6)
+# ---------------------------------------------------------------------------
+
+
+def test_layout_compact_hostile_keys_and_null_dates(spark, tmp_path):
+    """NULL/negative/int64-extreme keys (NULL shard → v1's default dir;
+    pmod vs C-% parity) and NULL dates (both inventories spill to the
+    NULL month, which must JOIN across vintages — the eqNullSafe month
+    join) through the full oracle."""
+    d = str(tmp_path)
+    _write_orders(spark, d, _HOSTILE_KEYS)
+    _oracle_parity(spark, d, ("recon_layout_compact",))
+    rows = [
+        (0, 1, "O", 10.0, 0, "5-LOW"),
+        (None, 2, "F", 11.0, None, "5-LOW"),   # NULL key AND NULL date
+        (5, 3, "P", 12.0, None, "5-LOW"),      # NULL date, real shard
+        (-7, 4, "O", 13.0, 40, "5-LOW"),
+    ]
+    _write_orders_nullable_date(spark, d, rows)
+    _oracle_parity(spark, d, ("recon_layout_compact",))
+
+
+def test_layout_compact_verdict_classes(spark, tmp_path):
+    """Independent expectation: a month whose keys all share one shard is
+    EQUAL (the migration buys nothing there); a month spanning all 4
+    shards is IMPROVED; a month with a NULL key counts the default dir
+    as one more v1 file."""
+    d = str(tmp_path)
+    rows = [
+        # month A (day 0): keys 1, 5, 9 — all shard 1 → v1_files = 1
+        (1, 1, "O", 1.0, 0, "5-LOW"),
+        (5, 1, "O", 1.0, 1, "5-LOW"),
+        (9, 1, "O", 1.0, 2, "5-LOW"),
+        # month B (day 40): keys 0..3 — all four shards → v1_files = 4
+        (0, 2, "O", 1.0, 40, "5-LOW"),
+        (2, 2, "O", 1.0, 41, "5-LOW"),
+        (7, 2, "O", 1.0, 42, "5-LOW"),
+        (13, 2, "O", 1.0, 43, "5-LOW"),
+        # month C (day 80): one real shard + a NULL key → v1_files = 2
+        (4, 3, "O", 1.0, 80, "5-LOW"),
+        (None, 3, "O", 1.0, 81, "5-LOW"),
+    ]
+    _write_orders_nullable_date(spark, d, rows)
+    _oracle_parity(spark, d, ("recon_layout_compact",))
+    from reconciliation_hive_data_spark.plans.recon_scale import (
+        recon_layout_compact,
+    )
+
+    out = {r.o_month: r for r in recon_layout_compact(spark, d).collect()}
+    assert (out["2017-07"].v1_files, out["2017-07"].verdict) == (1, "EQUAL")
+    assert (out["2017-08"].v1_files, out["2017-08"].verdict) == (4, "IMPROVED")
+    assert (out["2017-10"].v1_files, out["2017-10"].verdict) == (2, "IMPROVED")
+    assert all(r.v2_files == 1 for r in out.values())
+    assert all(r.n_rows_v1 == r.n_rows_v2 for r in out.values())
+
+
+def test_layout_compact_empty_source(spark, tmp_path):
+    d = str(tmp_path)
+    _write_orders(spark, d, [])
+    _oracle_parity(spark, d, ("recon_layout_compact",))
+
+
+def test_layout_compact_plan_shape(spark, sf_dir):
+    """No cartesian/BNL; each inventory contributes its own aggregate and
+    the month-grain join runs on two months-sized frames."""
+    from reconciliation_hive_data_spark.plans.recon_scale import (
+        recon_layout_compact,
+    )
+
+    from .test_plans import plan
+
+    p = plan(recon_layout_compact(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count(") SortMergeJoin") <= 1, p
+
+
+# ---------------------------------------------------------------------------
+# x_bpe_apply (§7.6.7)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_apply_known_answer(spark, tmp_path):
+    """Vocabulary {ab: 4}: one merge (a,b), rounds 2-3 identity; the
+    tokenization is a single 'ab' token per word occurrence — top list
+    [('ab', 4)], total_tokens 4, total_chars 8."""
+    d = str(tmp_path)
+    _write_docs(spark, d, ["ab ab ab", "ab", None])
+    _oracle_parity(spark, d, ("x_bpe_apply",))
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_bpe_apply
+
+    out = x_bpe_apply(spark, d).collect()
+    toks = [(r.rn, r.token, r.cnt) for r in out if r.kind == "token"]
+    stats = {r.token: r.cnt for r in out if r.kind == "stat"}
+    assert toks == [(1, "ab", 4)]
+    assert stats == {"total_tokens": 4, "total_chars": 8}
+
+
+def test_bpe_apply_mixed_tokens_and_compression(spark, tmp_path):
+    """The marker-reformation corpus tokenizes through two stacked merges
+    ('aa' then 'aaaa'); leftover single letters coexist with merged
+    tokens in the top list, and the stat pair measures the compression."""
+    d = str(tmp_path)
+    _write_docs(spark, d, ["aaaa aaaa aaaa", "aaaab baaaa", "aaaa aa"])
+    _oracle_parity(spark, d, ("x_bpe_apply",))
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_bpe_apply
+
+    out = x_bpe_apply(spark, d).collect()
+    toks = {r.token: r.cnt for r in out if r.kind == "token"}
+    stats = {r.token: r.cnt for r in out if r.kind == "stat"}
+    # merges: (a,a) -> chr1, (chr1,chr1) -> chr2, then round 3 ties
+    # (chr2,b) vs (b,chr2) at count 1 and the marker-first rule elects
+    # (chr2,b) -> chr3 = 'aaaab'. Final vocab: chr2(4), chr3(1),
+    # b chr2(1), chr1(1).
+    assert toks == {"aaaa": 5, "aaaab": 1, "b": 1, "aa": 1}
+    assert stats["total_chars"] == 4 * 4 + 5 + 5 + 2  # 28
+    assert stats["total_tokens"] == 4 + 1 + 2 + 1  # 8
+
+
+def test_bpe_apply_degenerate_corpora(spark, tmp_path):
+    """No-merge corpora: single-letter words (tokens == chars) and the
+    empty corpus (empty top list; stats both 0)."""
+    d = str(tmp_path)
+    _write_docs(spark, d, ["a b c", "a a"])
+    _oracle_parity(spark, d, ("x_bpe_apply",))
+    from reconciliation_hive_data_spark.plans.corpus_ops import x_bpe_apply
+
+    stats = {
+        r.token: r.cnt
+        for r in x_bpe_apply(spark, d).collect()
+        if r.kind == "stat"
+    }
+    assert stats["total_tokens"] == stats["total_chars"] == 5
+    _write_docs(spark, d, [None, ""])
+    _oracle_parity(spark, d, ("x_bpe_apply",))
+    stats = {
+        r.token: r.cnt
+        for r in x_bpe_apply(spark, d).collect()
+        if r.kind == "stat"
+    }
+    assert stats == {"total_tokens": 0, "total_chars": 0}

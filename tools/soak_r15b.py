@@ -4,11 +4,12 @@ committed pins — this pass caught a real engine fork in BOTH of the last
 two rounds' additions before the driver saw it).
 
 Pools mirror the committed hostile fixtures:
-- x_bpe_rounds_n: the docs-hostile token zoo + BPE-specific shapes
-  (repeated-letter runs for marker reformation, tie-dense tiny vocabs,
-  special-case-mapping unicode, NULL/empty/separator-only text).
-- recon_partition_evolve: NULL/negative/int64-extreme keys, NULL dates,
-  month gaps up to ~13 months, single-parity key sets, NULL values.
+- x_bpe_rounds_n / x_bpe_apply: the docs-hostile token zoo + BPE-specific
+  shapes (repeated-letter runs for marker reformation, tie-dense tiny
+  vocabs, special-case-mapping unicode, NULL/empty/separator-only text).
+- recon_partition_evolve / recon_layout_compact: NULL/negative/
+  int64-extreme keys, NULL dates, month gaps up to ~13 months,
+  single-parity key sets, NULL values.
 
 Usage: python tools/soak_r15b.py [n_examples]
 """
@@ -46,7 +47,7 @@ def _parity(spark, d, name):
     return compare(spec.fn(spark, d), spec.oracle, d, name)
 
 
-def soak_bpe(spark, rng: random.Random, d: str) -> list:
+def _soak_docs_corpus(spark, rng: random.Random, d: str) -> None:
     docs = []
     n = rng.randint(1, 12)
     for i in range(n):
@@ -64,10 +65,19 @@ def soak_bpe(spark, rng: random.Random, d: str) -> list:
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+
+
+def soak_bpe(spark, rng: random.Random, d: str) -> list:
+    _soak_docs_corpus(spark, rng, d)
     return _parity(spark, d, "x_bpe_rounds_n")
 
 
-def soak_partition_evolve(spark, rng: random.Random, d: str) -> list:
+def soak_bpe_apply(spark, rng: random.Random, d: str) -> list:
+    _soak_docs_corpus(spark, rng, d)
+    return _parity(spark, d, "x_bpe_apply")
+
+
+def _soak_orders_table(spark, rng: random.Random, d: str) -> None:
     keys = rng.sample(_KEYS, rng.randint(1, 14))
     rows = []
     for k in keys:
@@ -91,7 +101,16 @@ def soak_partition_evolve(spark, rng: random.Random, d: str) -> list:
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         F.timestamp_seconds("sec").alias("o_orderdate"), "o_orderpriority",
     ).coalesce(1).write.mode("overwrite").parquet(d + "/orders.parquet")
+
+
+def soak_partition_evolve(spark, rng: random.Random, d: str) -> list:
+    _soak_orders_table(spark, rng, d)
     return _parity(spark, d, "recon_partition_evolve")
+
+
+def soak_layout_compact(spark, rng: random.Random, d: str) -> list:
+    _soak_orders_table(spark, rng, d)
+    return _parity(spark, d, "recon_layout_compact")
 
 
 def main() -> int:
@@ -102,6 +121,8 @@ def main() -> int:
     for op, fn, seed0 in (
         ("x_bpe_rounds_n", soak_bpe, 1500),
         ("recon_partition_evolve", soak_partition_evolve, 2500),
+        ("x_bpe_apply", soak_bpe_apply, 3500),
+        ("recon_layout_compact", soak_layout_compact, 4500),
     ):
         for i in range(n):
             # str hash() is process-salted — fixed integer seeds keep every
