@@ -36,6 +36,20 @@ nondeterminism have to be engineered away once, here, and reused everywhere:
    raw values align — but canonical *hashes* still format timestamps to
    second precision text to be immune to future precision drift.
 
+4. **Signed zero (r15 audit).** Spark's ``round()`` goes through
+   BigDecimal, which has no -0: a tiny negative (-1e-30) or a -0.0 input
+   both round to +0.0. DuckDB's ROUND keeps the sign of a tiny negative
+   (-1e-30 → -0.0; a literal -0.0 input rounds to +0.0), and the strict
+   value compare distinguishes '0.0' from '-0.0'. Rule: every oracle
+   ``ROUND(x, k)`` whose argument can be NEGATIVE must append ``+ 0.0``
+   (identity for all non-zero doubles; normalizes -0.0). Decimal-routed
+   money serializations are immune (DECIMAL has no signed zero). The
+   sibling fold rule: DuckDB ``list_reduce`` is seedless (folds from the
+   first ELEMENT), so any sum-fold twin of a Spark ``F.aggregate`` with a
+   0.0 initial value must prepend the same seed
+   (``list_reduce(list_prepend(0.0, ...))``, see plans/llm.py duck_dot) —
+   an all-(-0.0)-element list otherwise sums to -0.0 on DuckDB only.
+
 Spark-side helpers return Columns; each has a DuckDB-SQL twin so the hash
 recipe has a single source of truth. Kinds: 'int', 'double', 'string', 'ts'.
 """

@@ -321,8 +321,11 @@ SELECT vec_id,
        ROUND(list_reduce(list_transform(embedding,
                                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                          (a, b) -> a + b), 6) AS norm_sq,
+       -- + 0.0: an all-tiny-negative vector's max rounds to -0.0 here
+       -- but to +0.0 through Spark's BigDecimal round (r15 signed-zero
+       -- audit); identity for every other value
        ROUND(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                         (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6)
+                         (a, b) -> CASE WHEN b > a THEN b ELSE a END), 6) + 0.0
          AS max_elem,
        array_to_string(list_transform(embedding[1:4],
                                       x -> printf('%.5f', CAST(x AS DOUBLE))), ',')

@@ -495,11 +495,15 @@ WITH m AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_rows,
+       -- + 0.0: DuckDB's ROUND of a tiny NEGATIVE (e.g. -1e-9) emits
+       -- -0.0 while Spark's BigDecimal round has no signed zero (r15
+       -- signed-zero audit) — the add normalizes -0.0 to +0.0 and is
+       -- the exact identity on every other double
        ROUND((n * sxy - sx * sy)
              / (sqrt(GREATEST(n * sxx - sx * sx, 0))
-                * sqrt(GREATEST(n * syy - sy * sy, 0))), 6)
+                * sqrt(GREATEST(n * syy - sy * sy, 0))), 6) + 0.0
          AS corr_qty_price,
-       ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS cov_qty_price
+       ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) + 0.0 AS cov_qty_price
 FROM m
 """
 

@@ -86,9 +86,17 @@ def dot(a: str, b: str) -> Column:
 
 
 def duck_dot(a: str, b: str) -> str:
+    # list_prepend(0.0, ...): seed the fold with +0.0 exactly like the
+    # Spark twin's F.aggregate initial value. Seedless list_reduce starts
+    # from the first ELEMENT, so an all-(-0.0)-products list (zero vector
+    # against a negative one) summed to -0.0 here while Spark's
+    # 0.0 + (-0.0) = +0.0 killed the sign — a raw signed-zero divergence
+    # in every unrounded cosine emission (r15 full-suite hypothesis find;
+    # the sibling ROUND-of-tiny-negative class is normalized with + 0.0
+    # at the emission sites).
     return (
-        f"list_reduce(list_transform(range(1, 1 + len({a})),"
-        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 1 + len({a})),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (x, y) -> x + y)"
     )
 
 
@@ -494,7 +502,7 @@ _EMBED_DEDUP_ORACLE = EMB_DUP_CTE + f"""
          sqrt({duck_dot('embedding', 'embedding')}) AS nrm
   FROM embeddings_dup
 )
-SELECT vec_a, vec_b, label, ROUND(cos_raw, 6) AS cos_sim FROM (
+SELECT vec_a, vec_b, label, ROUND(cos_raw, 6) + 0.0 AS cos_sim FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
          {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_raw
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -613,7 +621,7 @@ scored AS (
   FROM embeddings e CROSS JOIN q
   WHERE e.vec_id <> 0
 )
-SELECT vec_id, label, ROUND(cos_raw, 6) AS cos_sim
+SELECT vec_id, label, ROUND(cos_raw, 6) + 0.0 AS cos_sim
 FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
 """
 
@@ -658,7 +666,7 @@ scored AS (
   FROM b e JOIN q ON e.bucket = q.qb
   WHERE e.vec_id <> 0
 )
-SELECT vec_id, label, bucket, ROUND(cos_raw, 6) AS cos_sim
+SELECT vec_id, label, bucket, ROUND(cos_raw, 6) + 0.0 AS cos_sim
 FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10
 """
 
@@ -716,7 +724,7 @@ pairs AS (
          {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cos_raw
   FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 )
-SELECT label, vec_a, vec_b, ROUND(cos_raw, 6) AS cos_sim, rn FROM (
+SELECT label, vec_a, vec_b, ROUND(cos_raw, 6) + 0.0 AS cos_sim, rn FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY label
                                     ORDER BY cos_raw DESC, vec_a, vec_b)
                  AS BIGINT) AS rn

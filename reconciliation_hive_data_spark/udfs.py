@@ -52,7 +52,11 @@ def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PANDAS_ORACLE = """
 SELECT o_orderkey,
-       ROUND(ln(o_totalprice) - 10.0, 6) AS log_centered
+       -- + 0.0: a price within half an ulp-of-6dp BELOW e^10 (22026.46
+       -- is money-class-drawable) makes the argument a tiny negative,
+       -- which DuckDB's ROUND keeps as -0.0 while Spark's round never
+       -- emits signed zero (r15 signed-zero audit)
+       ROUND(ln(o_totalprice) - 10.0, 6) + 0.0 AS log_centered
 FROM orders
 """
 

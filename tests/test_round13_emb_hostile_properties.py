@@ -144,3 +144,46 @@ def test_embedding_family_never_aborts_on_broken_vectors(spark):
         assert not failures, failures
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# -- pinned signed-zero fork (r15 full-suite hypothesis find) ----------------
+
+
+def test_tiny_negative_cosine_rounds_without_signed_zero(spark):
+    """Pinned falsifying corpus: probe = nasty3 ([1, 1e30, 0...]) against
+    neg_e0 gives cos ≈ -1e-30 — DuckDB's ROUND kept the sign (-0.0) while
+    Spark's BigDecimal round has no signed zero (+0.0). Every rounded
+    cosine emission now appends + 0.0 in the oracle (canonical.py hazard
+    #4); this replay keeps the class closed without hypothesis luck."""
+    d = tempfile.mkdtemp(prefix="rhds_emb_negzero_")
+    try:
+        _write_embeddings(
+            d, [_mk_hostile_vec("nasty3"), _mk_hostile_vec("neg_e0")]
+        )
+        _oracle_parity(spark, d, _EMB_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zero_vector_against_negative_dot_sign(spark):
+    """The sibling raw-emission class: a zero vector dotted with a
+    negative one folds all-(-0.0) products — DuckDB's seedless
+    list_reduce summed them to -0.0 while Spark's 0.0-seeded F.aggregate
+    yields +0.0. duck_dot now prepends the same 0.0 seed; x_knn_graph
+    (raw cos_sim, no ROUND) is the visible surface."""
+    d = tempfile.mkdtemp(prefix="rhds_emb_zeroneg_")
+    try:
+        # probe (vec 0) zero; vec 1 negative; same label block via i%3
+        # cycle needs three rows — vec 3 pairs with vec 0 (label 0)
+        _write_embeddings(
+            d,
+            [
+                _mk_hostile_vec("zero"),
+                _mk_hostile_vec("neg_e0"),
+                _mk_hostile_vec("e1"),
+                [-1.0] * _DIM,
+            ],
+        )
+        _oracle_parity(spark, d, _EMB_QUERIES)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -416,3 +416,50 @@ def test_bpe_apply_degenerate_corpora(spark, tmp_path):
         if r.kind == "stat"
     }
     assert stats == {"total_tokens": 0, "total_chars": 0}
+
+
+# ---------------------------------------------------------------------------
+# r15 signed-zero audit pins outside the embeddings family
+# ---------------------------------------------------------------------------
+
+
+def test_log_centered_tiny_negative_price(spark, tmp_path):
+    """udf_pandas emits ROUND(ln(price) - 10, 6): price 22026.46 (2dp,
+    money-class-drawable, just below e^10) makes the argument ≈ -2.4e-7 —
+    the DuckDB-ROUND-keeps--0.0 class (canonical.py hazard #4), now
+    normalized with + 0.0 in the oracle."""
+    d = str(tmp_path)
+    _write_orders(
+        spark,
+        d,
+        [
+            (1, 1, "O", 22026.46, 0, "5-LOW"),   # ln - 10 ≈ -2.4e-7
+            (2, 2, "O", 22026.47, 1, "5-LOW"),   # ≈ +2.2e-7 (control)
+            (3, 3, "O", 100.0, 2, "5-LOW"),
+        ],
+    )
+    _oracle_parity(spark, d, ("udf_pandas",))
+
+
+def test_fn_array_all_tiny_negative_vector(spark, tmp_path):
+    """fn_array's max_elem rounds an array element: an all-tiny-negative
+    vector's max (-1e-30) rounds to -0.0 on DuckDB only — pinned through
+    the + 0.0 normalization."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    vecs = [[-1e-30] * 64, [1.0] + [0.0] * 63, [-0.0] * 64]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(
+                    [i % 3 for i in range(len(vecs))], pa.int32()
+                ),
+            }
+        ),
+        d + "/embeddings.parquet",
+    )
+    _oracle_parity(spark, d, ("fn_array",))
