@@ -36,13 +36,17 @@ nondeterminism have to be engineered away once, here, and reused everywhere:
    raw values align — but canonical *hashes* still format timestamps to
    second precision text to be immune to future precision drift.
 
-4. **Signed zero (r15 audit).** Spark's ``round()`` goes through
-   BigDecimal, which has no -0: a tiny negative (-1e-30) or a -0.0 input
-   both round to +0.0. DuckDB's ROUND keeps the sign of a tiny negative
-   (-1e-30 → -0.0; a literal -0.0 input rounds to +0.0), and the strict
-   value compare distinguishes '0.0' from '-0.0'. Rule: every oracle
-   ``ROUND(x, k)`` whose argument can be NEGATIVE must append ``+ 0.0``
-   (identity for all non-zero doubles; normalizes -0.0). Decimal-routed
+4. **Signed zero (r15 audit; note corrected r16).** Spark's ``round()``
+   goes through BigDecimal, which has no -0: a tiny negative (-1e-30) or
+   a -0.0 input both round to +0.0. DuckDB's ROUND keeps the sign for any
+   DOUBLE-typed argument — ``ROUND(-1e-30::DOUBLE, 6)`` AND
+   ``ROUND(-0.0::DOUBLE, 6)`` both return -0.0 (probed r16; only a bare
+   DECIMAL literal ``ROUND(-0.0, 6)`` normalizes, because the DECIMAL
+   type itself has no signed zero) — and the strict value compare
+   distinguishes '0.0' from '-0.0'. Rule: every oracle ``ROUND(x, k)``
+   whose DOUBLE argument can be ≤ -0.0 — i.e. can be negative OR exactly
+   -0.0, not merely "tiny negative" — must append ``+ 0.0`` (identity for
+   all non-zero doubles; normalizes -0.0). Decimal-routed
    money serializations are immune (DECIMAL has no signed zero). The
    sibling fold rule: DuckDB ``list_reduce`` is seedless (folds from the
    first ELEMENT), so any sum-fold twin of a Spark ``F.aggregate`` with a

@@ -191,7 +191,7 @@ p AS (
 SELECT bucket, n_src, n_tgt,
        ROUND(p_src, 6) AS p_src,
        ROUND(p_tgt, 6) AS p_tgt,
-       ROUND((p_src - p_tgt) * LN(p_src / p_tgt), 6) AS psi
+       ROUND((p_src - p_tgt) * LN(p_src / p_tgt), 6) + 0.0 AS psi
 FROM p
 """
 
@@ -320,15 +320,15 @@ WITH s AS (
   SELECT 'l_extendedprice' AS col_name,
          COUNT(*) AS n_rows,
          COUNT(*) - COUNT(l_extendedprice) AS n_nulls,
-         ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS mn,
-         ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS mx
+         ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) + 0.0 AS mn,
+         ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) + 0.0 AS mx
   FROM lineitem
   UNION ALL
   SELECT 'l_quantity',
          COUNT(*),
          COUNT(*) - COUNT(l_quantity),
-         ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6),
-         ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6)
+         ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) + 0.0,
+         ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) + 0.0
   FROM lineitem
 )
 SELECT col_name,
@@ -1129,6 +1129,12 @@ def recon_partition_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             # an all-NULL-key v2 writes ONLY the default partition dir;
             # discovery then sees no partition column at all
             df = df.withColumn("o_month", F.lit(None).cast("string"))
+        elif with_month:
+            # 'yyyy-MM' keys infer as string on this Spark, but
+            # partitionColumnTypeInference isn't pinned and the driver
+            # supplies its own session — cast defensively so a conf
+            # change can't fork the key type against the string oracle
+            df = df.withColumn("o_month", F.col("o_month").cast("string"))
         return df
 
     zero = F.lit(0).cast("bigint")
@@ -1300,7 +1306,9 @@ def recon_layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv1 = inventory(f"{root}/v1", lambda df: _pe_month())
     inv2 = inventory(
         f"{root}/v2",
-        lambda df: F.col("o_month")
+        # cast: partition-key inference of 'yyyy-MM' as string is not
+        # conf-pinned (see read_back in recon_partition_evolve)
+        lambda df: F.col("o_month").cast("string")
         if "o_month" in df.columns
         else F.lit(None).cast("string"),
     )
