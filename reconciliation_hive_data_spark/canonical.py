@@ -156,20 +156,34 @@ def _canon_sql(name: str, kind: str) -> str:
     return f"COALESCE({s}, '{NULL}')"
 
 
-def canonical_row_hash(cols: list[tuple[str, str]]) -> Column:
-    """md5 over the canonical serialization of ``cols`` — the reconciliation
-    row-fingerprint primitive. md5 is the one hash Spark and DuckDB share."""
+def canonical_row_text(cols: list[tuple[str, str]]) -> Column:
+    """The canonical serialization STRING of ``cols`` (the pre-md5 input of
+    :func:`canonical_row_hash`). Unlike the hash it is order-comparable, so
+    it serves as a deterministic ELECTION key over a key's copies: distinct
+    canonical payloads always serialize differently (no collision caveat),
+    and payloads emitted in canonical units make any residual tie (e.g.
+    sub-1e-6 double twins sharing a decimal(28,6) text) value-invisible."""
     parts: list[Column] = []
     for name, kind in cols:
         parts.append(_canon_col(name, kind))
-    sep_joined = F.concat_ws(SEP, *parts)
-    return F.md5(sep_joined)
+    return F.concat_ws(SEP, *parts)
+
+
+def canonical_row_text_sql(cols: list[tuple[str, str]]) -> str:
+    """DuckDB twin of :func:`canonical_row_text`."""
+    parts = ", ".join(_canon_sql(name, kind) for name, kind in cols)
+    return f"concat_ws('{SEP}', {parts})"
+
+
+def canonical_row_hash(cols: list[tuple[str, str]]) -> Column:
+    """md5 over the canonical serialization of ``cols`` — the reconciliation
+    row-fingerprint primitive. md5 is the one hash Spark and DuckDB share."""
+    return F.md5(canonical_row_text(cols))
 
 
 def canonical_row_hash_sql(cols: list[tuple[str, str]]) -> str:
     """DuckDB twin of :func:`canonical_row_hash`."""
-    parts = ", ".join(_canon_sql(name, kind) for name, kind in cols)
-    return f"md5(concat_ws('{SEP}', {parts}))"
+    return f"md5({canonical_row_text_sql(cols)})"
 
 
 def ts_str(col: str | Column, alias: str | None = None) -> Column:

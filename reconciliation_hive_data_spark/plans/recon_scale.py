@@ -36,7 +36,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..canonical import canonical_row_hash, canonical_row_hash_sql, ts_str
+from ..canonical import (
+    MONEY_SCALE,
+    canonical_row_hash,
+    canonical_row_hash_sql,
+    canonical_row_text,
+    canonical_row_text_sql,
+    ts_str,
+    ts_str_sql,
+)
 from ..catalog import load
 from ..registry import query
 from .recon import _ORDER_HASH_COLS, ORDERS_TGT_CTE, orders_target
@@ -829,6 +837,183 @@ def recon_bucket_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drift")
         .alias("fault"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_remediate — write-ready fix-up plan from the drill fault list
+# (round 16, SURVEY §7.12.1)
+# ---------------------------------------------------------------------------
+
+#: canonical-unit payload serialization for the remediation write list —
+#: every field is the canonical projection of its hash column, so two source
+#: copies that tie on the election key (the canonical row TEXT) are emitted
+#: IDENTICALLY and the engines' arbitrary tie pick is value-invisible.
+_REMEDIATE_PAYLOAD_SQL = f"""struct_pack(
+           p_custkey := CAST(o_custkey AS BIGINT),
+           p_orderstatus := o_orderstatus,
+           p_totalprice := CAST(CAST(CAST(o_totalprice AS DOUBLE) + 0.0
+                                     AS DECIMAL(28,{MONEY_SCALE})) AS DOUBLE),
+           p_orderdate := {ts_str_sql('o_orderdate')},
+           p_orderpriority := o_orderpriority)"""
+
+_REMEDIATE_ORACLE = _BH_ORACLE_CTES + f""",
+faults AS (
+  SELECT COALESCE(sk.bucket, tk.bucket) AS bucket,
+         COALESCE(sk.k, tk.k) AS k,
+         sk.c AS s_c, tk.c AS t_c,
+         CASE WHEN sk.c IS NULL THEN 'delete'
+              WHEN tk.c IS NULL THEN 'insert'
+              WHEN sk.c <> tk.c THEN 'set_copies'
+              ELSE 'update' END AS action
+  FROM sk FULL OUTER JOIN tk ON sk.bucket = tk.bucket AND sk.k = tk.k
+  WHERE sk.c IS DISTINCT FROM tk.c OR sk.kw1 IS DISTINCT FROM tk.kw1
+     OR sk.kw2 IS DISTINCT FROM tk.kw2
+),
+pay AS (
+  SELECT o_orderkey AS pk,
+         arg_min({_REMEDIATE_PAYLOAD_SQL},
+                 {canonical_row_text_sql(_ORDER_HASH_COLS)}) AS p
+  FROM orders
+  WHERE o_orderkey IN (SELECT k FROM faults WHERE action <> 'delete')
+  GROUP BY 1
+)
+SELECT CAST(f.bucket AS BIGINT) AS bucket,
+       CAST(f.k AS BIGINT) AS o_orderkey,
+       f.action,
+       CAST(COALESCE(f.s_c, 0) AS BIGINT) AS src_copies,
+       CAST(COALESCE(f.t_c, 0) AS BIGINT) AS tgt_copies,
+       struct_extract(p.p, 'p_custkey') AS p_custkey,
+       struct_extract(p.p, 'p_orderstatus') AS p_orderstatus,
+       struct_extract(p.p, 'p_totalprice') AS p_totalprice,
+       struct_extract(p.p, 'p_orderdate') AS p_orderdate,
+       struct_extract(p.p, 'p_orderpriority') AS p_orderpriority
+FROM faults f LEFT JOIN pay p ON f.k = p.pk
+"""
+
+
+@query("recon_remediate", oracle=_REMEDIATE_ORACLE)
+def recon_remediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation tier below recon_bucket_drill (SURVEY §7.12.1):
+    where drill reports WHAT disagrees (per-key copy counts + a fault
+    class), this emits the WRITE-READY action list the fix-up job
+    executes — one row per faulted key:
+
+      ``action``      — 'insert' (key absent from target), 'delete' (key
+                        absent from source: target-only garbage),
+                        'set_copies' (both sides, different multiplicity —
+                        converge target to src_copies of the elected
+                        payload), 'update' (same multiplicity, value drift
+                        — rewrite with the elected payload);
+      ``src_copies`` / ``tgt_copies`` — the multiplicities to converge
+                        between;
+      ``p_*``         — the actual source payload columns for the write
+                        actions (NULL row for 'delete'), serialized in
+                        CANONICAL units (decimal-6 money, second-precision
+                        date text) so the list is engine- and
+                        file-format-portable.
+
+    Payload election is deterministic for keys holding multiple distinct
+    source copies: ``min_by`` over the canonical row TEXT
+    (:func:`canonical_row_text` — unique per distinct canonical payload,
+    so no hash-collision tie-break hazard; the DuckDB twin is ``arg_min``
+    over the same string). The election key is total over the EMITTED
+    values: payloads that tie on canonical text serialize identically in
+    canonical units, so either engine's arbitrary tie pick is invisible.
+    The struct (not per-column arg_min) form is load-bearing: DuckDB's
+    scalar ``arg_min`` SKIPS rows whose value argument is NULL (probed
+    r16), which would resurrect a non-null payload field from a losing
+    copy; ``struct_pack`` is never NULL as a whole, so NULL fields ride
+    through faithfully on both engines.
+
+    Scale shape: faults inherit _bh_key_diff's damage-bounded drill (the
+    bad-bucket broadcast prunes both sides before any key-level exchange),
+    and the payload fetch joins the source against a BROADCAST of the
+    damage-sized write-key list — the 100 TB side never shuffles; at any
+    realistic damage rate this is the exact-membership degenerate of a
+    Bloom-filter prune, and if the fault list ever outgrows the broadcast
+    threshold Spark's runtime Bloom-filter join injection
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) expresses the same
+    prune declaratively. The only new exchange is the damage-sized payload
+    election groupBy. The faults frame persists across its two consumers
+    (final select + write-key broadcast — the x_dedup_near precedent);
+    the damage-sized result localCheckpoints before the cache releases.
+
+    Keys NULL on either side never reach the drill on either engine (a
+    NULL md5 bucket drops from the plan's inner prune join and the
+    oracle's equi-join alike) — inherited recon_bucket_drill semantics,
+    shared oracle CTEs. A clean pair yields zero rows. Core lives in
+    :func:`remediation_plan` — tests drive it with synthetic pairs to pin
+    the 'delete' arm (the standard faulty fixture has no target-only
+    keys), the multi-copy election, and the NULL-payload-field ride."""
+    src = load(spark, sf_dir, "orders")
+    return remediation_plan(src, orders_target(src))
+
+
+def remediation_plan(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """The reusable core of recon_remediate (docstring there): drill-tier
+    fault list → write-ready per-key action rows with deterministically
+    elected canonical-unit source payloads."""
+    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
+        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
+    )
+    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+    faults = (
+        _bh_key_diff(src, tgt, bad)
+        .select(
+            "bucket",
+            "k",
+            "s_c",
+            "t_c",
+            F.when(F.col("s_c").isNull(), "delete")
+            .when(F.col("t_c").isNull(), "insert")
+            .when(F.col("s_c") != F.col("t_c"), "set_copies")
+            .otherwise("update")
+            .alias("action"),
+        )
+        .persist()
+    )
+    write_keys = F.broadcast(
+        faults.filter(F.col("action") != "delete").select("k")
+    )
+    payload = F.struct(
+        F.col("o_custkey").cast("bigint").alias("p_custkey"),
+        F.col("o_orderstatus").alias("p_orderstatus"),
+        (F.col("o_totalprice").cast("double") + F.lit(0.0))
+        .cast(f"decimal(28,{MONEY_SCALE})")
+        .cast("double")
+        .alias("p_totalprice"),
+        ts_str("o_orderdate").alias("p_orderdate"),
+        F.col("o_orderpriority").alias("p_orderpriority"),
+    )
+    pay = (
+        src.join(write_keys, F.col("o_orderkey") == F.col("k"))
+        .groupBy(F.col("o_orderkey").alias("pk"))
+        .agg(
+            F.min_by(payload, canonical_row_text(_ORDER_HASH_COLS)).alias("p")
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    out = (
+        faults.join(pay, faults["k"] == pay["pk"], "left")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("k").cast("bigint").alias("o_orderkey"),
+            "action",
+            F.coalesce("s_c", zero).alias("src_copies"),
+            F.coalesce("t_c", zero).alias("tgt_copies"),
+            F.col("p.p_custkey").alias("p_custkey"),
+            F.col("p.p_orderstatus").alias("p_orderstatus"),
+            F.col("p.p_totalprice").alias("p_totalprice"),
+            F.col("p.p_orderdate").alias("p_orderdate"),
+            F.col("p.p_orderpriority").alias("p_orderpriority"),
+        )
+        .localCheckpoint()
+    )
+    faults.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -281,6 +281,14 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # array_sort/list_reduce fold found only non-nullable keys (positions,
     # the HLL register grid, fixed ranges).
     "x_domain_mix": 15,
+    # r16 (ADVICE r15): the o_month partition key read back from v2's
+    # directory layout is now cast to string explicitly — 'yyyy-MM'
+    # inference as string held by probe but partitionColumnTypeInference
+    # is not conf-pinned and the driver supplies its own session.
+    # Behavior-identical on the installed Spark (cast of an
+    # already-string column is a no-op); fronted per the rewrite rule.
+    "recon_partition_evolve": 16,
+    "recon_layout_compact": 16,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

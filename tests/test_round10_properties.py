@@ -271,6 +271,9 @@ _RECON_ALL_ORDERS = _RECON_QUERIES + (
     # pinned pools (test_round15_partition_evolve_bpe_n.py)
     "recon_partition_evolve",
     "recon_layout_compact",
+    # r16: the drill-consuming remediation tier (orders-only; its
+    # delete-arm/election pins live in test_round16_remediate.py)
+    "recon_remediate",
 )
 
 
