@@ -34,6 +34,8 @@ never produces.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from reconciliation_hive_data_spark.plans.recon import orders_target
@@ -212,3 +214,76 @@ def test_insert_rows_carry_source_payload(spark, sf_dir):
             .p
         )
         assert drift[0].p_totalprice == src_price
+
+
+# ---------------------------------------------------------------------------
+# standing property fuzz: duplicate-key corpora the round-10 writer can't
+# produce (its orders strategy is unique_by key) — multi-copy elections,
+# exact duplicates, and fault residues mixed freely; oracle parity plus the
+# drill bijection re-asserted per draw
+# ---------------------------------------------------------------------------
+
+_DUP_ORDERS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key base (dups ALLOWED)
+        st.sampled_from([0, 7, 13, 21, 34]),  # fault residue
+        st.integers(min_value=1, max_value=9),  # cust
+        st.sampled_from(["O", "F", "P"]),
+        st.one_of(
+            st.none(),
+            st.integers(min_value=0, max_value=1_000_000).map(
+                lambda c: c / 100.0
+            ),
+        ),
+        st.integers(min_value=0, max_value=30),  # day
+        st.one_of(st.none(), st.sampled_from(["1-URGENT", "5-LOW"])),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orders=_DUP_ORDERS)
+def test_remediate_matches_oracle_on_dup_key_corpora(spark, orders):
+    """Random multi-copy corpora: duplicate keys with distinct or identical
+    payloads across every fault residue. Asserts (a) full oracle parity,
+    (b) the drill bijection holds on every draw (the independent-
+    expectation pin that catches symmetric semantic inversions — SURVEY
+    §7.12 lesson), (c) every non-delete row carries a payload."""
+    import shutil
+    import tempfile
+
+    from reconciliation_hive_data_spark import registry
+
+    registry.load_all_modules()
+    rows = [
+        (base * 1000 + res, c, s, p, day, prio)
+        for base, res, c, s, p, day, prio in orders
+    ]
+    d = tempfile.mkdtemp(prefix="rhds_remediate_fuzz_")
+    try:
+        _write_orders(spark, d, rows)
+        _oracle_parity(spark, d, ("recon_remediate",))
+        mapping = {
+            "missing_in_target": "insert",
+            "missing_in_source": "delete",
+            "copy_count": "set_copies",
+            "drift": "update",
+        }
+        drill = {
+            (r.bucket, r.o_orderkey): r.fault
+            for r in registry.get("recon_bucket_drill").fn(spark, d).collect()
+        }
+        rem = {}
+        for r in registry.get("recon_remediate").fn(spark, d).collect():
+            rem[(r.bucket, r.o_orderkey)] = r.action
+            if r.action != "delete":
+                assert r.p_custkey is not None, r
+        assert rem == {k: mapping[v] for k, v in drill.items()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
