@@ -246,15 +246,20 @@ def s_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_ORACLE = """
 WITH o AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
                    > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 sess AS (
+  -- (ts, event_id) tiebreak, matching CTE o's lag ordering: the ROWS-frame
+  -- cum over a ts-only ORDER relied on DuckDB's stable sort to keep tied
+  -- (user, ts) rows in event_id order (r16 probe: 60 shuffled corpora
+  -- never forked, but it is the engines' incidental stability, not a
+  -- contract — the repo convention pins the tiebreak explicitly)
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM o
