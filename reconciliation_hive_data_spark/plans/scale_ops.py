@@ -365,7 +365,11 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism by 16× — at larger scale the modulus grows with the
     corpus — while every emitted sequence still respects the 2048 cap
     (packing quality is unchanged; only which bin a doc lands in moves).
-    One exchange on the composite key; no global sort."""
+    One exchange on the composite key; no global sort. Determinism
+    precondition (r16 window-ordering audit): doc_id is the table's
+    unique non-null key — tied or NULL doc_ids would make the ROWS-frame
+    cumsum order-dependent on BOTH engines (the same scaffolding contract
+    as the r13 derived-id injectivity note, SURVEY §7.9)."""
     d = load(spark, sf_dir, "documents")
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
