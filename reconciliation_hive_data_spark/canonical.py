@@ -159,10 +159,17 @@ def _canon_sql(name: str, kind: str) -> str:
 def canonical_row_text(cols: list[tuple[str, str]]) -> Column:
     """The canonical serialization STRING of ``cols`` (the pre-md5 input of
     :func:`canonical_row_hash`). Unlike the hash it is order-comparable, so
-    it serves as a deterministic ELECTION key over a key's copies: distinct
-    canonical payloads always serialize differently (no collision caveat),
-    and payloads emitted in canonical units make any residual tie (e.g.
-    sub-1e-6 double twins sharing a decimal(28,6) text) value-invisible."""
+    it serves as a deterministic ELECTION key over a key's copies. Distinct
+    canonical payloads serialize differently EXCEPT under separator/sentinel
+    injection: free-form string columns containing the SEP ('␟') or NULL
+    sentinel ('␀') characters can make two distinct payloads tie (e.g.
+    ('S', '␀␟') vs ('S␟␀', '')), leaving the election pick engine-dependent
+    — the same injection class already accepted for the md5 fingerprint
+    path (module docstring), absent from the canonical-unit fixtures, and
+    escapable per-column upstream if a corpus ever carries those glyphs.
+    Payloads emitted in canonical units make any residual non-injected tie
+    (e.g. sub-1e-6 double twins sharing a decimal(28,6) text)
+    value-invisible. ADVICE r16 closure."""
     parts: list[Column] = []
     for name, kind in cols:
         parts.append(_canon_col(name, kind))

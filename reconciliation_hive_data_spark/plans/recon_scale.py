@@ -927,13 +927,15 @@ def recon_remediate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: faults inherit _bh_key_diff's damage-bounded drill (the
     bad-bucket broadcast prunes both sides before any key-level exchange),
-    and the payload fetch joins the source against a BROADCAST of the
-    damage-sized write-key list — the 100 TB side never shuffles; at any
-    realistic damage rate this is the exact-membership degenerate of a
-    Bloom-filter prune, and if the fault list ever outgrows the broadcast
-    threshold Spark's runtime Bloom-filter join injection
+    and the payload fetch joins the source against the damage-sized
+    write-key list with NO explicit broadcast hint (ADVICE r16): under the
+    autoBroadcastJoinThreshold the optimizer (or AQE, from runtime sizes)
+    broadcasts it and the 100 TB side never shuffles — the exact-membership
+    degenerate of a Bloom-filter prune; if the fault list ever outgrows the
+    threshold the plan degrades gracefully instead of force-broadcasting
+    toward driver OOM, and Spark's runtime Bloom-filter join injection
     (spark.sql.optimizer.runtime.bloomFilter.enabled) expresses the same
-    prune declaratively. The only new exchange is the damage-sized payload
+    scan-side prune declaratively. The only new exchange is the damage-sized payload
     election groupBy. The faults frame persists across its two consumers
     (final select + write-key broadcast — the x_dedup_near precedent);
     the damage-sized result localCheckpoints before the cache releases.
@@ -975,9 +977,14 @@ def remediation_plan(src: DataFrame, tgt: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    write_keys = F.broadcast(
-        faults.filter(F.col("action") != "delete").select("k")
-    )
+    # No explicit broadcast HINT here (ADVICE r16): a hint is honored
+    # unconditionally regardless of autoBroadcastJoinThreshold, so a heavily
+    # damaged pair would force-broadcast an arbitrarily large key list and
+    # risk driver OOM. Left to the optimizer, the damage-sized list
+    # broadcasts under the threshold (AQE converts at runtime from actual
+    # sizes) and degrades gracefully past it, where the runtime Bloom-filter
+    # join injection expresses the same scan-side prune declaratively.
+    write_keys = faults.filter(F.col("action") != "delete").select("k")
     payload = F.struct(
         F.col("o_custkey").cast("bigint").alias("p_custkey"),
         F.col("o_orderstatus").alias("p_orderstatus"),
