@@ -53,6 +53,11 @@ _ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
     # r15 third slot: the tokenize-with-learned-merges consumer shares
     # the same tokenizer and learn loop
     "x_bpe_apply",
+    # r17 addition: sequence packing on post-BPE token counts — shares the
+    # tokenizer + learn loop AND the zero-word/NULL-text left-join path,
+    # so it rides the same sweep (its boundary/replica pins live in
+    # test_round17_bpe_pack.py)
+    "x_bpe_pack",
 )
 
 # -- corpus generator --------------------------------------------------------

@@ -1,0 +1,117 @@
+"""Deeper-example soak for the r17 addition (the r14/r15/r16 soak
+convention: ~12 deterministic examples beyond the committed pins — this
+pass caught a real engine fork in both the r14 and r15 additions before
+the driver saw it).
+
+x_bpe_pack pool: the hostile-documents zoo EXTENDED with the shapes the
+post-BPE packing specifically risks:
+
+- zero-word docs (digits/punctuation only) and NULL/empty text — the
+  left-join/COALESCE-0 path must keep them IN the packing;
+- merge-fertile words (self-overlapping 'aaaa', dense 'the/theory'
+  prefixes) so the three elections actually fire and marker-space
+  lengths diverge hard from whitespace counts;
+- election TIES (equal-count pairs → lexicographic tie-break must agree
+  across Spark, DuckDB, and the pure-Python replica);
+- long documents ('word ' * ~1500) so the running totals actually cross
+  the 2048 cap inside a shard — real boundary traffic, not just seq 0;
+- special-case-mapping characters ('İ' U+0130, Kelvin sign U+212A) that
+  FORK the lower(text) family — the BPE ops' ASCII-extract-then-lower
+  tokenizer is immune by construction, and the soak proves it;
+- doc_ids spanning negatives / 40-bit / dense small ints for shard
+  stability and co-sharded window groups.
+
+Each draw asserts BOTH gates: DuckDB oracle parity through the real
+registered query + sf_dir load path, AND the pure-Python replica from
+tests/test_round17_bpe_pack.py (the independent expectation — parity
+alone cannot see a semantic written identically into both engines).
+
+Usage: python tools/soak_r17.py [n_examples]
+"""
+
+from __future__ import annotations
+
+import random
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from reconciliation_hive_data_spark.session import get_spark  # noqa: E402
+from reconciliation_hive_data_spark import registry  # noqa: E402
+
+_TEXT_POOL = [
+    None,
+    "",
+    " ",
+    "123 456 !!! ...",                      # zero extractable words
+    "the theory of everything",
+    "the the the theory thesis",
+    "aaaa aaaa aaab bbbb",                  # self-overlapping merges
+    "ab ab cd cd",                          # election tie bait
+    "İstanbul KELVİN KK sign",         # case-mapping forks: immune
+    "héllo naïve 日本語 the",                # multibyte; ASCII runs only
+    "word " * 1500,                         # crosses the 2048 cap
+    "token " * 700,
+    "x" * 64,
+    "a b c d e f g h",                      # single-letter words: no pairs
+]
+
+_ID_POOL = (
+    list(range(0, 40))
+    + [-1, -17, 999_950, 999_990, 2**40, 2**40 + 3, -(2**31)]
+)
+
+
+def _draw(rng: random.Random):
+    n = rng.randint(1, 14)
+    ids = rng.sample(_ID_POOL, n)
+    return [
+        (
+            i,
+            rng.choice(_TEXT_POOL),
+            rng.choice([None, "en", "es", "zh"]),
+            rng.choice([None, "src0", "src1"]),
+        )
+        for i in ids
+    ]
+
+
+def main() -> int:
+    n_examples = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    from tests.test_round10_properties import _oracle_parity  # noqa: E402
+    from tests.test_round13_docs_hostile_properties import (  # noqa: E402
+        _write_documents_nullable,
+    )
+    from tests.test_round17_bpe_pack import (  # noqa: E402
+        _BPE_PACK_CAP,
+        _py_bpe_pack,
+        _spark_pack,
+    )
+
+    registry.load_all_modules()
+    spark = get_spark("soak-r17", shuffle_partitions=8)
+    rng = random.Random(171717)
+    failures = 0
+    for ex in range(n_examples):
+        docs = _draw(rng)
+        d = tempfile.mkdtemp(prefix="rhds_soak17_")
+        try:
+            _write_documents_nullable(spark, d, docs)
+            _oracle_parity(spark, d, ("x_bpe_pack",))
+            got = _spark_pack(spark, docs, _BPE_PACK_CAP)
+            want = _py_bpe_pack(docs, _BPE_PACK_CAP)
+            assert got == want, f"replica mismatch: {got} != {want}"
+            print(f"[{ex + 1:2d}/{n_examples}] ok  ({len(docs)} docs)")
+        except AssertionError as e:
+            failures += 1
+            print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    print(f"\n{n_examples - failures}/{n_examples} clean")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
