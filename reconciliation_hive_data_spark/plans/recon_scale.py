@@ -1521,3 +1521,205 @@ def recon_layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("EQUAL")
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recon_compact_incremental — successive-compaction incrementality audit
+# (round 17, §7.12 candidate 3)
+# ---------------------------------------------------------------------------
+
+_CI_ORACLE = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS m,
+         COALESCE(((o_orderkey % 10) + 10) % 10, -1) AS k10,
+         COALESCE(((o_orderkey % 50) + 50) % 50, -1) AS k50
+  FROM orders
+),
+b AS (
+  SELECT MIN(m) AS dm,
+         strftime(strptime(MAX(m) || '-01', '%Y-%m-%d') + INTERVAL 1 MONTH,
+                  '%Y-%m') AS nm
+  FROM m WHERE m IS NOT NULL
+),
+-- the delta's dirty-month row count: dynamic overwrite only touches a
+-- partition that appears in the WRITTEN data, so an all-filtered dirty
+-- month is NOT recompacted (the vet-note hazard: dirtiness comes from
+-- the delta's month keys, never from row diffs)
+bd AS (
+  SELECT COUNT(*) AS n_d FROM m, b WHERE m.m = b.dm AND m.k10 <> 3
+),
+before_t AS (SELECT m, COUNT(*) AS n_before FROM m GROUP BY 1),
+after_t AS (
+  SELECT m, COUNT(*) AS n_after FROM (
+    SELECT m.m AS m FROM m, b, bd
+    WHERE m.m IS NULL OR b.dm IS NULL OR m.m <> b.dm OR bd.n_d = 0
+    UNION ALL
+    SELECT m.m AS m FROM m, b, bd
+    WHERE m.m = b.dm AND m.k10 <> 3 AND bd.n_d > 0
+    UNION ALL
+    SELECT b.nm AS m FROM m, b WHERE m.k50 = 0 AND b.nm IS NOT NULL
+  ) GROUP BY 1
+)
+SELECT COALESCE(bf.m, af.m) AS o_month,
+       CAST(COALESCE(bf.n_before, 0) AS BIGINT) AS n_rows_before,
+       CAST(COALESCE(af.n_after, 0) AS BIGINT) AS n_rows_after,
+       -- absence-from-before is n_before IS NULL, NOT bf.m IS NULL: a
+       -- NULL_KEY month present before has bf.m NULL but keeps its file
+       CAST(CASE WHEN bf.n_before IS NULL THEN 0
+                 WHEN bf.m IS NOT DISTINCT FROM b.dm AND bd.n_d > 0 THEN 0
+                 ELSE 1 END AS BIGINT) AS n_files_kept,
+       CASE WHEN COALESCE(bf.m, af.m) IS NULL THEN 'NULL_KEY'
+            WHEN bf.n_before IS NULL THEN 'NEW'
+            WHEN bf.m IS NOT DISTINCT FROM b.dm AND bd.n_d > 0
+              THEN 'RECOMPACTED'
+            ELSE 'STABLE' END AS verdict
+FROM before_t bf
+FULL OUTER JOIN after_t af ON bf.m IS NOT DISTINCT FROM af.m
+CROSS JOIN b CROSS JOIN bd
+"""
+
+
+@query("recon_compact_incremental", oracle=_CI_ORACLE)
+def recon_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Successive-compaction incrementality audit (SURVEY §7.12 candidate
+    3) — the follow-on run recon_layout_compact points at: run-1 compacts
+    orders month-partitioned (one file per month dir — the pre-write
+    ``repartition`` discipline); a deterministic DELTA batch lands
+    (a rewrite of the oldest month dropping its ``pmod(key,10)==3`` rows,
+    plus a new-month batch of the ``pmod(key,50)==0`` rows landing in
+    max-month + 1); run-2 applies the delta via per-write DYNAMIC
+    partition overwrite (``.option("partitionOverwriteMode", "dynamic")``
+    — per-write, no session-conf dependency; probed r16: only the
+    partitions present in the written data are replaced, and an empty
+    delta is a safe no-op). The audit inventories data files per month
+    BEFORE and AFTER run-2 via ``input_file_name()`` and emits
+
+      (o_month, n_rows_before, n_rows_after, n_files_kept, verdict)
+
+    with verdict STABLE (untouched month — its single file survives,
+    n_files_kept = 1), RECOMPACTED (the dirty month — its file replaced,
+    kept = 0), NEW (the fresh month), NULL_KEY (the default-partition
+    spill, never in the delta by construction). The oracle re-derives
+    every number from the source table's key/date arithmetic alone, so a
+    hash-pass proves the incremental run touched ONLY the dirty months:
+    a mis-scoped overwrite (whole-table truncate, or a static overwrite
+    clearing untouched partitions) flips STABLE months' n_files_kept to
+    0 and fails the hash. The vet-note hazard is modeled on both sides:
+    a dirty month whose rewrite filters away EVERY row never appears in
+    the written data, so dynamic overwrite leaves it untouched — the
+    oracle gates RECOMPACTED on the delta's month keys (bd.n_d > 0),
+    not on row diffs. File identity relies on Spark's per-job UUID part
+    names (a replaced partition can never resurrect its old file name);
+    one-file-per-dir relies on the repartition write contract
+    (recon_layout_compact's discipline, oracle-pinned there).
+
+    Scale shape: run-1 is the one table-sized write; the delta is
+    delta-sized end to end (two pushed-down filters + a 1-row bounds
+    aggregate broadcast-attached — no driver scalar, no collect); run-2
+    rewrites only the dirty partitions' bytes — THE incremental-
+    compaction win this audit prices: at 100 TB a full recompaction
+    rewrites everything, the delta run rewrites two months. The
+    inventories are manifest-sized metadata aggregates (months × files),
+    joined at month grain; n_files_kept is a months×files-sized distinct
+    pair intersection. Out of scope (family convention, documented at
+    recon_partition_evolve): years outside 1000-9999."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    root = (
+        f"/tmp/rhds_sinks/{os.path.basename(sf_dir.rstrip('/'))}"
+        "/orders_compact_incremental"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = load(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    data = src.select(
+        "o_orderkey",
+        "o_totalprice",
+        month.alias("o_month"),
+        F.coalesce(F.pmod("o_orderkey", F.lit(10)), F.lit(-1)).alias("k10"),
+        F.coalesce(F.pmod("o_orderkey", F.lit(50)), F.lit(-1)).alias("k50"),
+    )
+    tbl = f"{root}/orders_m"
+    data.select("o_orderkey", "o_totalprice", "o_month").repartition(
+        "o_month"
+    ).write.mode("overwrite").partitionBy("o_month").parquet(tbl)
+
+    def inventory(path: str) -> DataFrame:
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:  # fileless table (empty source)
+            return spark.createDataFrame([], "m string, fname string")
+        mcol = (
+            F.col("o_month").cast("string")
+            if "o_month" in df.columns
+            else F.lit(None).cast("string")
+        )
+        return df.select(mcol.alias("m"), F.input_file_name().alias("fname"))
+
+    # BEFORE inventory must be materialized before run-2 replaces files
+    inv_before = (
+        inventory(tbl)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.collect_set("fname").alias("files_before"),
+        )
+        .localCheckpoint()
+    )
+
+    bounds = data.filter(F.col("o_month").isNotNull()).agg(
+        F.min("o_month").alias("dm"),
+        F.date_format(
+            F.add_months(F.to_date(F.concat(F.max("o_month"), F.lit("-01"))), 1),
+            "yyyy-MM",
+        ).alias("nm"),
+    )
+    withb = data.crossJoin(F.broadcast(bounds))
+    delta = (
+        withb.filter(
+            (F.col("o_month") == F.col("dm")) & (F.col("k10") != 3)
+        )
+        .select("o_orderkey", "o_totalprice", "o_month")
+        .unionByName(
+            withb.filter((F.col("k50") == 0) & F.col("nm").isNotNull())
+            .select("o_orderkey", "o_totalprice", F.col("nm").alias("o_month"))
+        )
+    )
+    delta.repartition("o_month").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("o_month").parquet(tbl)
+
+    inv_after = (
+        inventory(tbl)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.collect_set("fname").alias("files_after"),
+        )
+    )
+    j = inv_before.alias("a").join(
+        inv_after.alias("b"), F.col("a.m").eqNullSafe(F.col("b.m")), "full_outer"
+    )
+    zero = F.lit(0).cast("bigint")
+    mo = F.coalesce("a.m", "b.m")
+    kept = F.size(
+        F.array_intersect(
+            F.coalesce("files_before", F.array().cast("array<string>")),
+            F.coalesce("files_after", F.array().cast("array<string>")),
+        )
+    )
+    n_before = F.coalesce("n_before", zero)
+    return j.select(
+        mo.alias("o_month"),
+        n_before.cast("bigint").alias("n_rows_before"),
+        F.coalesce("n_after", zero).cast("bigint").alias("n_rows_after"),
+        kept.cast("bigint").alias("n_files_kept"),
+        F.when(mo.isNull(), "NULL_KEY")
+        .when(n_before == 0, "NEW")
+        .when(kept == 0, "RECOMPACTED")
+        .otherwise("STABLE")
+        .alias("verdict"),
+    )

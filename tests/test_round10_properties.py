@@ -274,6 +274,10 @@ _RECON_ALL_ORDERS = _RECON_QUERIES + (
     # r16: the drill-consuming remediation tier (orders-only; its
     # delete-arm/election pins live in test_round16_remediate.py)
     "recon_remediate",
+    # r17: the successive-compaction audit (orders-only; its dynamic-
+    # overwrite scoping + replica pins live in
+    # test_round17_compact_incremental.py)
+    "recon_compact_incremental",
 )
 
 

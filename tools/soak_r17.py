@@ -109,9 +109,50 @@ def main() -> int:
             print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
         finally:
             shutil.rmtree(d, ignore_errors=True)
-    print(f"\n{n_examples - failures}/{n_examples} clean")
-    return 1 if failures else 0
+    print(f"\nx_bpe_pack: {n_examples - failures}/{n_examples} clean")
+    f2 = soak_compact_incremental(spark, n_examples)
+    print(f"recon_compact_incremental: {n_examples - f2}/{n_examples} clean")
+    return 1 if failures or f2 else 0
 
+
+
+
+# -- second r17 addition: recon_compact_incremental ---------------------------
+#
+# Pool: the orders zoo with NULL/negative/huge keys and NULL/sparse days,
+# biased toward the audit's hazard shapes — residue-3-saturated oldest
+# months (the all-filtered dirty-month no-recompact rule), %50==0 keys
+# (NEW-month traffic), NULL dates (default-partition spill), and
+# month-boundary days. Each draw asserts the pure-Python replica (which
+# predicts the on-disk outcome incl. n_files_kept) AND DuckDB oracle
+# parity through the real registered query.
+
+_CI_KEYS = [None, 3, 13, 23, 33, 7, 21, 50, 100, 150, -7, -3, -50,
+            2**40, 2**40 + 3, 999_999, 1, 2]
+_CI_DAYS = [None, 0, 1, 17, 18, 19, 30, 31, 48, 49, 79, 80, 90]
+
+
+def soak_compact_incremental(spark, n_examples: int) -> int:
+    from tests.test_round17_compact_incremental import _py_compact, _run
+
+    rng = random.Random(272727)
+    failures = 0
+    for ex in range(n_examples):
+        n = rng.randint(1, 14)
+        keys = rng.sample(_CI_KEYS, n)
+        rows = [
+            (k, rng.choice([None, 10.0, 99.99]), rng.choice(_CI_DAYS))
+            for k in keys
+        ]
+        try:
+            got = _run(spark, rows)  # also runs oracle parity inside
+            want = _py_compact(rows)
+            assert got == want, f"replica mismatch: {got} != {want}"
+            print(f"[{ex + 1:2d}/{n_examples}] ok  ({n} orders)")
+        except AssertionError as e:
+            failures += 1
+            print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
+    return failures
 
 if __name__ == "__main__":
     raise SystemExit(main())
