@@ -1456,3 +1456,51 @@ def x_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode doubles only a sessions-sized SLIM projection (source, touch,
     sv), never the event payloads."""
     return attribution_report(load(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_drop_list — write-ready keep/drop list from duplicate clusters
+# (round 17, §7.13 candidate 2)
+# ---------------------------------------------------------------------------
+
+_DROP_LIST_ORACLE = f"""
+SELECT doc_id, cluster_id, cluster_size,
+       CASE WHEN doc_id = cluster_id THEN 'keep' ELSE 'drop' END AS action
+FROM ({_CLUSTERS_ORACLE.strip()}) clusters
+"""
+
+
+@query("x_dedup_drop_list", oracle=_DROP_LIST_ORACLE)
+def x_dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-ready keep/drop list from duplicate clusters (SURVEY §7.13
+    candidate 2) — the consumer completing cluster → elect → drop: from
+    x_dedup_clusters' components, elect the canonical survivor per
+    cluster and emit the list a dedup campaign's delete job executes:
+
+      (doc_id, cluster_id, cluster_size, action keep|drop)
+
+    one row per clustered doc (singletons never enter — cluster machinery
+    already excludes size-1), exactly one 'keep' per cluster. The
+    election IS the cluster label: min-label CC labels every component
+    by its minimum doc_id, so ``action = keep iff doc_id = cluster_id``
+    — no second election pass, and the two engines cannot disagree on
+    ties because doc_id is the table's unique non-null key (the same
+    total-order precondition documented on x_dedup_clusters / the r13
+    derived-id injectivity note). Survivor-by-min-id is the standard
+    deterministic campaign policy; a quality-scored election would swap
+    the CASE for recon_remediate's min_by-struct pattern without
+    touching the cluster machinery.
+
+    Composition, not duplication: the plan is x_dedup_clusters' result
+    with one narrow projection appended; the oracle wraps the cluster
+    oracle's recursive-closure CTEs verbatim in one outer CASE — the two
+    can never drift from the op they consume (the x_chunk_pack /
+    x_bpe_apply shared-prefix precedent). Scale shape: inherited
+    unchanged — the checked fixed-point CC over the duplicate-density-
+    sized edge list, plus a zero-exchange projection."""
+    return x_dedup_clusters(spark, sf_dir).withColumn(
+        "action",
+        F.when(F.col("doc_id") == F.col("cluster_id"), "keep").otherwise(
+            "drop"
+        ),
+    )

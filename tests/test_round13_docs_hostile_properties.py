@@ -58,6 +58,10 @@ _ALL_DOCS_QUERIES = tuple(_DOCS_QUERIES) + (
     # so it rides the same sweep (its boundary/replica pins live in
     # test_round17_bpe_pack.py)
     "x_bpe_pack",
+    # r17 second slot: the cluster-consuming keep/drop list (documents-
+    # only, full oracle; its union-find replica pins live in
+    # test_round17_drop_list.py)
+    "x_dedup_drop_list",
 )
 
 # -- corpus generator --------------------------------------------------------

@@ -112,7 +112,9 @@ def main() -> int:
     print(f"\nx_bpe_pack: {n_examples - failures}/{n_examples} clean")
     f2 = soak_compact_incremental(spark, n_examples)
     print(f"recon_compact_incremental: {n_examples - f2}/{n_examples} clean")
-    return 1 if failures or f2 else 0
+    f3 = soak_drop_list(spark, n_examples)
+    print(f"x_dedup_drop_list: {n_examples - f3}/{n_examples} clean")
+    return 1 if failures or f2 or f3 else 0
 
 
 
@@ -153,6 +155,59 @@ def soak_compact_incremental(spark, n_examples: int) -> int:
             failures += 1
             print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
     return failures
+
+
+
+# -- third r17 addition: x_dedup_drop_list ------------------------------------
+#
+# Pool: the bpe-pack doc zoo reused (NULL/empty text, zero-word docs,
+# unicode, dense dup space via the tiny-vocab texts) — the interesting
+# shapes here are IDENTICAL texts under distinct ids (cluster traffic)
+# and %50/%250 ids (version-chain expansion). Each draw asserts the
+# pure-Python text-group/min-survivor replica AND DuckDB oracle parity.
+
+
+def soak_drop_list(spark, n_examples: int) -> int:
+    from tests.test_round10_properties import _oracle_parity
+    from tests.test_round13_docs_hostile_properties import (
+        _write_documents_nullable,
+    )
+    from tests.test_round17_drop_list import (
+        _check_invariants,
+        _py_drop_list,
+        _run,
+    )
+
+    rng = random.Random(373737)
+    # id pool honors the derived-id injectivity precondition (the r13
+    # scaffolding contract pinned in the hostile family's _DOC_IDS note):
+    # no id may equal another id + k*1_000_000, so negative multiples of
+    # 50 (e.g. -50 -> +1M copy at 999_950) are excluded alongside raw
+    # 1_000_000 itself
+    dup_ids = [0, 50, 250, 999_950, -20, 1, 2, 3, 7, 11, 500, 750]
+    failures = 0
+    for ex in range(n_examples):
+        n = rng.randint(1, 11)
+        ids = rng.sample(dup_ids, n)
+        texts = [rng.choice(_TEXT_POOL[:8]) for _ in ids]  # small pool → dups
+        docs = [(i, t, rng.choice([None, "en"]), None)
+                for i, t in zip(ids, texts)]
+        d = tempfile.mkdtemp(prefix="rhds_soak17c_")
+        try:
+            got = _run(spark, docs)
+            want = _py_drop_list(docs)
+            assert got == want, f"replica mismatch: {got} != {want}"
+            _check_invariants(got)
+            _write_documents_nullable(spark, d, docs)
+            _oracle_parity(spark, d, ("x_dedup_drop_list",))
+            print(f"[{ex + 1:2d}/{n_examples}] ok  ({n} docs)")
+        except AssertionError as e:
+            failures += 1
+            print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return failures
+
 
 if __name__ == "__main__":
     raise SystemExit(main())
