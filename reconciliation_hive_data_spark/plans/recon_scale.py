@@ -1024,6 +1024,235 @@ def remediation_plan(src: DataFrame, tgt: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# recon_remediate_apply — apply the fix-up list, re-verify convergence
+# (round 18, SURVEY §7.13.1)
+# ---------------------------------------------------------------------------
+
+_REMEDIATE_APPLY_ORACLE = _BH_ORACLE_CTES + f""",
+faults AS (
+  SELECT COALESCE(sk.bucket, tk.bucket) AS bucket,
+         COALESCE(sk.k, tk.k) AS k,
+         sk.c AS s_c, tk.c AS t_c,
+         CASE WHEN sk.c IS NULL THEN 'delete'
+              WHEN tk.c IS NULL THEN 'insert'
+              WHEN sk.c <> tk.c THEN 'set_copies'
+              ELSE 'update' END AS action
+  FROM sk FULL OUTER JOIN tk ON sk.bucket = tk.bucket AND sk.k = tk.k
+  WHERE sk.c IS DISTINCT FROM tk.c OR sk.kw1 IS DISTINCT FROM tk.kw1
+     OR sk.kw2 IS DISTINCT FROM tk.kw2
+),
+-- convergence prediction, derived INDEPENDENTLY of any simulated apply:
+-- a non-delete faulted key converges iff all its source copies share one
+-- canonical serialization (apply writes s_c copies of the single elected
+-- payload, so a multi-payload source multiset can never be reproduced)
+srctxt AS (
+  SELECT o_orderkey AS k,
+         COUNT(DISTINCT {canonical_row_text_sql(_ORDER_HASH_COLS)}) AS n_txt
+  FROM orders
+  WHERE o_orderkey IN (SELECT k FROM faults WHERE action <> 'delete')
+  GROUP BY 1
+),
+resid AS (
+  SELECT f.action, f.bucket, f.k
+  FROM faults f JOIN srctxt s ON f.k = s.k
+  WHERE f.action <> 'delete' AND s.n_txt > 1
+),
+pa AS (
+  SELECT action, COUNT(*) AS n_keys,
+         SUM(COALESCE(t_c, 0)) AS rows_removed,
+         SUM(CASE WHEN action <> 'delete' THEN s_c ELSE 0 END)
+           AS rows_inserted
+  FROM faults GROUP BY 1
+),
+ra AS (
+  SELECT action, COUNT(*) AS n_residual_keys,
+         COUNT(DISTINCT bucket) AS n_residual_buckets
+  FROM resid GROUP BY 1
+)
+SELECT pa.action,
+       CAST(pa.n_keys AS BIGINT) AS n_keys,
+       CAST(pa.rows_removed AS BIGINT) AS rows_removed,
+       CAST(COALESCE(pa.rows_inserted, 0) AS BIGINT) AS rows_inserted,
+       CAST(COALESCE(ra.n_residual_keys, 0) AS BIGINT) AS n_residual_keys,
+       CAST(COALESCE(ra.n_residual_buckets, 0) AS BIGINT)
+         AS n_residual_buckets
+FROM pa LEFT JOIN ra ON pa.action = ra.action
+"""
+
+
+def remediation_apply_frames(
+    src: DataFrame, tgt: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Apply :func:`remediation_plan`'s action list to ``tgt``; returns
+    ``(plan, tgt_after)`` where ``tgt_after`` is the post-apply target
+    (hash-column projection):
+
+    - every faulted key's target rows are anti-joined out (NULL-key rows
+      never match the anti-join condition, so they survive untouched —
+      matching the drill, which never sees them);
+    - every non-delete fault re-inserts ``src_copies`` copies of its
+      elected canonical payload via ``explode(sequence(1, src_copies))``.
+      The ``src_copies >= 1`` guard is LOAD-BEARING even though a groupBy
+      count is always >= 1: Spark's ``sequence(1, 0)`` DESCENDS (emits
+      [1, 0] — the shingles3 abort class, probed r17) instead of dropping
+      the row like DuckDB's ``range``, so any future zero-copy action arm
+      would silently double-insert without it (probe pinned in
+      tests/test_round18_remediate_apply.py).
+
+    The re-inserted rows are the CANONICAL projection of the elected
+    source copy (decimal-6 doubles, second-precision timestamps parsed
+    back from the payload text) — the write list is engine-portable, so
+    apply writes exactly what the list says, not a re-fetch of raw source
+    rows. Canonical projection is hash-idempotent for money-class values
+    and in-convention (1000-9999) years; outside those documented
+    conventions a re-materialized row may hash differently from its
+    source and surface as a spurious residual.
+
+    Neither the anti-join list nor the payload frame carries a broadcast
+    HINT (ADVICE r16 precedent): both are damage-sized, so AQE broadcasts
+    them under the threshold and degrades gracefully past it."""
+    plan = remediation_plan(src, tgt)  # localCheckpointed: one materialization
+    cols = [name for name, _ in _ORDER_HASH_COLS]
+    fault_keys = plan.select(F.col("o_orderkey").alias("fk"))
+    kept = tgt.select(*cols).join(
+        fault_keys, F.col("o_orderkey") == F.col("fk"), "left_anti"
+    )
+    ins = (
+        plan.filter(
+            (F.col("action") != "delete") & (F.col("src_copies") >= 1)
+        )
+        .withColumn(
+            "copy_i", F.explode(F.sequence(F.lit(1), F.col("src_copies")))
+        )
+        .select(
+            F.col("o_orderkey"),
+            F.col("p_custkey").alias("o_custkey"),
+            F.col("p_orderstatus").alias("o_orderstatus"),
+            F.col("p_totalprice").alias("o_totalprice"),
+            F.to_timestamp("p_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            F.col("p_orderpriority").alias("o_orderpriority"),
+        )
+    )
+    return plan, kept.unionByName(ins.select(*cols))
+
+
+def remediation_apply_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """The reusable core of recon_remediate_apply (docstring there):
+    apply the remediation plan, re-run the digest recon src vs post-apply
+    target, and report per-action applied counts + residual convergence."""
+    plan, tgt_after = remediation_apply_frames(src, tgt)
+    sd = _bh_digest(_bh_words(src), "src")
+    td = _bh_digest(_bh_words(tgt_after), "tgt")
+    same = (
+        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
+        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
+    )
+    bad_after = sd.join(td, "bucket", "full_outer").filter(~same)
+    resid = _bh_key_diff(src, tgt_after, bad_after).select("bucket", "k")
+    zero = F.lit(0).cast("bigint")
+    per_action = plan.groupBy("action").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("tgt_copies").alias("rows_removed"),
+        F.sum(
+            F.when(F.col("action") != "delete", F.col("src_copies"))
+            .otherwise(F.lit(0))
+        ).alias("rows_inserted"),
+    )
+    # attribute each residual key to its action; a residual key ABSENT
+    # from the plan means apply corrupted an untouched key — surface it
+    # as action='corrupt' (the oracle never emits one, so parity fails)
+    resid_by_action = (
+        resid.join(
+            plan.select(
+                F.col("o_orderkey").alias("pk"),
+                F.col("action").alias("p_action"),
+            ),
+            F.col("k") == F.col("pk"),
+            "left",
+        )
+        .select(
+            F.coalesce("p_action", F.lit("corrupt")).alias("action"),
+            "bucket",
+        )
+        .groupBy("action")
+        .agg(
+            F.count("*").alias("n_residual_keys"),
+            F.countDistinct("bucket").alias("n_residual_buckets"),
+        )
+    )
+    return (
+        per_action.join(resid_by_action, "action", "full_outer")
+        .select(
+            "action",
+            F.coalesce("n_keys", zero).cast("bigint").alias("n_keys"),
+            F.coalesce("rows_removed", zero)
+            .cast("bigint")
+            .alias("rows_removed"),
+            F.coalesce("rows_inserted", zero)
+            .cast("bigint")
+            .alias("rows_inserted"),
+            F.coalesce("n_residual_keys", zero)
+            .cast("bigint")
+            .alias("n_residual_keys"),
+            F.coalesce("n_residual_buckets", zero)
+            .cast("bigint")
+            .alias("n_residual_buckets"),
+        )
+        .localCheckpoint()  # <= 5 rows; driver count+collect must not re-run
+    )
+
+
+@query("recon_remediate_apply", oracle=_REMEDIATE_APPLY_ORACLE)
+def recon_remediate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The convergence tier completing detect → plan → apply → verify
+    (SURVEY §7.13.1): execute recon_remediate's write-ready action list
+    against the target, then RE-RUN the digest reconciliation between the
+    source and the post-apply target, reporting one row per action class:
+
+      ``n_keys``         — faulted keys carrying this action;
+      ``rows_removed``   — target rows anti-joined out (the key's full
+                           target multiplicity — apply rewrites faulted
+                           keys wholesale);
+      ``rows_inserted``  — canonical payload copies written back
+                           (``src_copies`` per non-delete key, exploded
+                           via ``sequence(1, src_copies)`` under the
+                           ``>= 1`` descend guard — Spark's
+                           ``sequence(1, 0)`` returns [1, 0]);
+      ``n_residual_keys`` / ``n_residual_buckets`` — convergence state
+                           from the re-verify: keys (and their distinct
+                           md5 buckets) STILL differing after apply.
+
+    Under the single-payload write-list model a faulted key converges iff
+    all its source copies share one canonical serialization; a key whose
+    source holds >1 distinct payload is honestly residual (apply wrote
+    ``s_c`` copies of the elected payload, which can never reproduce a
+    multi-payload multiset). The DuckDB oracle re-derives the residual
+    set from that arithmetic alone — COUNT(DISTINCT canonical text) per
+    faulted source key — while the Spark side actually MATERIALIZES the
+    post-apply target and re-runs the two-tier digest/drill recon, so a
+    mis-scoped anti-join, a wrong copy count, or a corrupted payload
+    breaks the hash. Residual keys not in the plan surface as
+    action='corrupt', which the oracle never emits. The registered pair
+    (unique source keys) fully converges: every action row reports zero
+    residuals, matching recon_remediate's fault census.
+
+    Scale shape: the plan inherits the damage-bounded drill; the apply is
+    an unhinted anti-join against the damage-sized key list (AQE
+    broadcast) plus a damage-sized explode — the 100 TB side never
+    shuffles; the re-verify is the recon's own two digest scans (the
+    price of verification) plus a drill confined to still-bad buckets.
+    The residual word-sum compare shares the recon's 64-bit fold model:
+    a multi-payload source whose copies' hash words sum to the elected
+    payload's exact multiple mod 2^32 would read as converged — the same
+    accepted collision class as the digest tier itself."""
+    src = load(spark, sf_dir, "orders")
+    return remediation_apply_report(src, orders_target(src))
+
+
+# ---------------------------------------------------------------------------
 # recon_schema_evolve — schema-evolution reconciliation (round 15, §7.6.2)
 # ---------------------------------------------------------------------------
 
