@@ -991,7 +991,16 @@ def _bpe_learn(
 
 def _bpe_attach_expansions(df: DataFrame, bests: list[DataFrame]) -> DataFrame:
     """Broadcast-attach each round's merged-pair text (e1..e{N}) so
-    _bpe_expand_col can rewrite marker chars back to letter text."""
+    _bpe_expand_col can rewrite marker chars back to letter text (and
+    bpe_pack_plan's vmap can re-apply the merges forward).
+
+    1-ROW CONTRACT (ADVICE r17): every frame in ``bests`` must be exactly
+    one row — _bpe_best's aggregate form guarantees it (a no-pairs round
+    yields one NULL-fielded row, never an empty frame). The crossJoin
+    attach relies on it: a 0-row election would cascade-empty every
+    consumer silently, and a multi-row one would duplicate them. All
+    election attaches go through THIS helper so the invariant lives in
+    one place; don't swap _bpe_best to a limit(1)-style election."""
     for k, b in enumerate(bests, 1):
         df = df.crossJoin(
             F.broadcast(b.select(F.concat("s1", "s2").alias(f"e{k}")))
@@ -1262,14 +1271,15 @@ def bpe_pack_plan(docs: DataFrame, cap: int = _BPE_PACK_CAP) -> DataFrame:
     words = _bpe_words(docs).persist()
     _cur, bests, cached = _bpe_learn(words)
     cached.append(words)
+    # election frames attach via the shared helper (ADVICE r17): the 1-row
+    # contract documented there is what keeps this vmap from silently
+    # cascade-emptying; the merges then re-apply FORWARD (round order,
+    # pair text -> marker char) to measure each word's post-BPE length
+    vmap = _bpe_attach_expansions(words.select("word"), bests)
     m = F.col("word")
-    vmap = words.select("word")
-    for k, b in enumerate(bests, 1):
-        vmap = vmap.crossJoin(
-            F.broadcast(b.select(F.concat("s1", "s2").alias(f"p{k}")))
-        )
+    for k in range(1, len(bests) + 1):
         m = F.replace(
-            m, F.coalesce(F.col(f"p{k}"), F.lit(_BPE_SENTINEL)), F.lit(chr(k))
+            m, F.coalesce(F.col(f"e{k}"), F.lit(_BPE_SENTINEL)), F.lit(chr(k))
         )
     vmap = vmap.select("word", F.length(m).alias("toklen"))
     occ = (

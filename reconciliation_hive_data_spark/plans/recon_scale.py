@@ -1765,9 +1765,14 @@ WITH m AS (
   FROM orders
 ),
 b AS (
+  -- nm clamps off at max month 9999-12 (ADVICE r17): year 10000 formats
+  -- as '+10000' on Spark vs '10000' on DuckDB, so the NEW-month branch
+  -- is skipped at the convention edge instead (twin of the plan's guard)
   SELECT MIN(m) AS dm,
-         strftime(strptime(MAX(m) || '-01', '%Y-%m-%d') + INTERVAL 1 MONTH,
-                  '%Y-%m') AS nm
+         CASE WHEN MAX(m) < '9999-12'
+              THEN strftime(strptime(MAX(m) || '-01', '%Y-%m-%d')
+                            + INTERVAL 1 MONTH, '%Y-%m')
+              END AS nm
   FROM m WHERE m IS NOT NULL
 ),
 -- the delta's dirty-month row count: dynamic overwrite only touches a
@@ -1899,11 +1904,22 @@ def recon_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
+    # nm guard (ADVICE r17): a max month of 9999-12 is IN the documented
+    # 1000-9999 year convention, but max+1 lands in year 10000, where
+    # Spark date_format 'yyyy' emits '+10000' and DuckDB strftime '%Y'
+    # emits '10000' — clamp the NEW-month branch off instead (nm NULL →
+    # the nm.isNotNull() filter below makes it a no-op on both engines).
+    # Lexicographic < is chronological for in-convention 'yyyy-MM' text.
     bounds = data.filter(F.col("o_month").isNotNull()).agg(
         F.min("o_month").alias("dm"),
-        F.date_format(
-            F.add_months(F.to_date(F.concat(F.max("o_month"), F.lit("-01"))), 1),
-            "yyyy-MM",
+        F.when(
+            F.max("o_month") < F.lit("9999-12"),
+            F.date_format(
+                F.add_months(
+                    F.to_date(F.concat(F.max("o_month"), F.lit("-01"))), 1
+                ),
+                "yyyy-MM",
+            ),
         ).alias("nm"),
     )
     withb = data.crossJoin(F.broadcast(bounds))
@@ -1951,4 +1967,8 @@ def recon_compact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(kept == 0, "RECOMPACTED")
         .otherwise("STABLE")
         .alias("verdict"),
-    )
+        # months-sized; materialize NOW (ADVICE r17): the result reads the
+        # shared /tmp sink lazily, and a subsequent invocation against the
+        # same sf basename rmtrees/rewrites that sink — an unevaluated
+        # report would otherwise see the later run's files
+    ).localCheckpoint()

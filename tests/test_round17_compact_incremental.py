@@ -75,11 +75,13 @@ def _py_compact(rows) -> dict:
         recs.append((m, k10, k50))
     nonnull = sorted({m for m, _, _ in recs if m is not None})
     dm = nonnull[0] if nonnull else None
-    if nonnull:
+    if nonnull and nonnull[-1] < "9999-12":
         y, mo = map(int, nonnull[-1].split("-"))
         y, mo = (y + 1, 1) if mo == 12 else (y, mo + 1)
         nm = f"{y:04d}-{mo:02d}"
     else:
+        # ADVICE r17 clamp: max month 9999-12 is in-convention but +1
+        # month leaves the 4-digit year range — the NEW branch skips
         nm = None
     n_d = sum(1 for m, k10, _ in recs if dm is not None and m == dm and k10 != 3)
     before: Counter = Counter(m for m, _, _ in recs)
@@ -180,6 +182,27 @@ def test_compact_incremental_single_month(spark):
     assert got == _py_compact(rows)
     assert got["2017-07"][3] == "RECOMPACTED"
     assert got["2017-08"] == (0, 1, 0, "NEW")
+
+
+def test_compact_incremental_max_month_9999_12_clamps_new_branch(spark):
+    """ADVICE r17 pin: a max month of 9999-12 is inside the documented
+    1000-9999 year convention, but max+1 lands in year 10000 where the
+    engines' year formatting diverges ('+10000' vs '10000'). The clamp
+    turns the NEW-month branch off at the edge: k50==0 rows spawn no NEW
+    month, the dirty-month rewrite still runs, and parity holds."""
+    d9999 = int(
+        (
+            dt.datetime(9999, 12, 15, tzinfo=dt.timezone.utc).timestamp()
+            - _EPOCH
+        )
+        // 86_400
+    )
+    rows = [(12, 10.0, 0), (50, 11.0, d9999), (100, 12.0, d9999)]
+    got = _run(spark, rows)  # includes oracle parity
+    assert got == _py_compact(rows)
+    assert got["2017-07"][3] == "RECOMPACTED"
+    assert got["9999-12"][3] == "STABLE"
+    assert not any(v[3] == "NEW" for v in got.values())
 
 
 def test_compact_incremental_all_null_dates_is_noop(spark):
