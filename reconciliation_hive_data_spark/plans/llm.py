@@ -650,6 +650,33 @@ def x_sim_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x_sim_ivf — sign-signature bucketed ANN (IVF-style coarse quantization)
 # ---------------------------------------------------------------------------
 
+
+def ivf_sig() -> Column:
+    """The deterministic 8-bit sign signature of a vector's first 8 dims —
+    the IVF-centroid stand-in shared by x_sim_ivf and x_dedup_semantic
+    (single source so the two ops can never bucket differently).
+    get(), not embedding[i-1] (r13 embeddings fuzz): ordinal access on a
+    truncated/empty vector ABORTS the job (INVALID_ARRAY_INDEX); get()
+    returns NULL out of bounds, NULL > 0 is false, so missing dims
+    contribute sign-bit 0 — same as the oracle's NULL-yielding b[i]."""
+    return F.aggregate(
+        F.expr(
+            "transform(sequence(1, 8), i -> CASE WHEN CAST(get(embedding, i-1) AS DOUBLE) > 0"
+            " THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+#: DuckDB twin of :func:`ivf_sig` over table alias-free `embedding`.
+IVF_SIG_SQL = """CAST(list_reduce(list_transform(range(1, 9),
+              i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                        THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END),
+              (x, y) -> x + y) AS BIGINT)"""
+
+
 _SIM_IVF_ORACLE = f"""
 WITH b AS (
   SELECT vec_id, label, embedding,
@@ -679,21 +706,10 @@ def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inverted-file structure at scale is a partition-pruned read on
     bucket. Deterministic ⇒ fully oracle-checked (unlike MLlib LSH)."""
     e = load(spark, sf_dir, "embeddings")
-    # get(), not embedding[i-1] (r13 embeddings fuzz): a truncated or
-    # empty vector made the ordinal access ABORT the whole job with
-    # INVALID_ARRAY_INDEX — one corrupt row killing a 100 TB scan. get()
-    # returns NULL out of bounds; NULL > 0 is false, so missing dims
-    # contribute sign-bit 0, same as the oracle's NULL-yielding b[i].
-    sig = F.aggregate(
-        F.expr(
-            "transform(sequence(1, 8), i -> CASE WHEN CAST(get(embedding, i-1) AS DOUBLE) > 0"
-            " THEN CAST(shiftleft(CAST(1 AS BIGINT), i - 1) AS BIGINT)"
-            " ELSE CAST(0 AS BIGINT) END)"
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    b = e.withColumn("bucket", sig)
+    # signature via the shared ivf_sig() helper (docstring there carries
+    # the r13 get()-not-ordinal note); identical expression, shared with
+    # x_dedup_semantic so the two ops can never bucket differently
+    b = e.withColumn("bucket", ivf_sig())
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"), F.col("bucket").alias("qb")
     )
@@ -706,6 +722,131 @@ def x_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "bucket", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x_dedup_semantic — SemDeDup-style within-bucket semantic prune (round 18)
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.99
+
+_SEM_ORACLE = EMB_DUP_CTE + f"""
+, n AS (
+  SELECT vec_id, embedding,
+         {IVF_SIG_SQL} AS bucket,
+         sqrt({duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings_dup
+),
+-- equal-length guard: Spark's zip_with pads the SHORTER array with NULL
+-- (dot NULL, cos NULL, pair excluded) while duck_dot ranges over the
+-- FIRST argument's length (a shorter first side would yield a partial,
+-- non-NULL dot) — the explicit guard makes the engines agree; a NULL
+-- embedding has NULL len and falls out the same way
+w AS (
+  SELECT a.vec_id, MIN(b.vec_id) AS witness_id
+  FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+  WHERE len(a.embedding) = len(b.embedding)
+    AND {duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+        >= {_SEM_TAU}
+  GROUP BY 1
+)
+SELECT n.vec_id,
+       n.bucket,
+       CASE WHEN w.witness_id IS NULL THEN 'keep' ELSE 'drop' END AS action,
+       CAST(w.witness_id AS BIGINT) AS witness_id
+FROM n LEFT JOIN w ON n.vec_id = w.vec_id
+"""
+
+
+@query("x_dedup_semantic", oracle=_SEM_ORACLE)
+def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic prune (SURVEY §7.14 vet note; Abbas et al.
+    2023, arXiv:2303.09540): coarse-cluster embeddings, keep ONE member
+    of every within-cluster semantic-duplicate group, emit the
+    write-ready verdict list — (vec_id, bucket, action keep/drop,
+    witness_id). Our deterministic formulation keeps the op fully
+    oracle-checkable where the paper's fitted k-means would not be:
+
+    - cluster = :func:`ivf_sig`'s 8-bit sign signature (the shared IVF
+      centroid stand-in — x_sim_ivf buckets identically by construction);
+    - a vector DROPS iff some LOWER-id vector in the same bucket has
+      cosine >= 0.99 with it; the reported witness is the MINIMUM such
+      id. Keep-earliest greedy on vec_id (unique — the registered dup
+      fixture derives +1M ids, the documented injectivity precondition),
+      independent of the witness's own verdict — exactly the paper's
+      cluster-prune semantics with vec_id as keep priority.
+
+    Cross-engine float story (all existing probed conventions, §7.14
+    note): the threshold compare sees BIT-IDENTICAL doubles — dot() and
+    duck_dot() fold float32→double products in identical index order
+    with identical +0.0 seeds (the r15 signed-zero closure), and norms
+    multiply in the same order — so a cosine landing exactly on 0.99
+    cannot fork the engines. Zero-norm vectors: try_divide / DuckDB x/0
+    both yield NULL → never drop, never witness (r12 fuzz convention).
+    Different-length pairs: Spark's zip_with NULL-pads → NULL cos; the
+    oracle mirrors it with an explicit equal-length guard (duck_dot
+    alone would compute a partial dot when the FIRST side is shorter).
+    NULL/short vectors take sign-bit 0 for missing dims (get()
+    convention, ivf_sig docstring).
+
+    Runs over embeddings_dup (the +1M exact-duplicate injection), so
+    drop traffic exists at every sf: each injected twin drops with its
+    original (or an earlier cosine-duplicate) as witness.
+
+    Scale shape: the signature + norm pass is one linear scan
+    (localCheckpointed — both pair sides and the final attach reuse it
+    without re-deriving); candidate generation is an EQUI-join on
+    bucket — never all-pairs (the IVF prune; at 100 TB widen the
+    signature to cap bucket size, the same knob x_sim_ivf documents, or
+    swap in x_dedup_embed's coordinate-bucket key for threshold-lossless
+    pruning); the witness MIN is bucket-local and map-side combinable;
+    the verdict list is corpus-sized with NO wide payload (embeddings
+    stay out of the final projection). The cross-bucket recall trade is
+    the paper's own: near-dups straddling a sign boundary are missed by
+    design (pinned in tests), the price of never scanning all pairs."""
+    e = embeddings_dup(spark, sf_dir)
+    n = (
+        e.select("vec_id", ivf_sig().alias("bucket"), "embedding")
+        .withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+        .localCheckpoint()
+    )
+    a = n.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("bucket").alias("bucket_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    wit = (
+        a.join(
+            b,
+            (F.col("bucket_a") == F.col("bucket_b"))
+            & (F.col("id_b") < F.col("id_a")),
+        )
+        .filter(
+            F.try_divide(dot("ea", "eb"), F.col("na") * F.col("nb"))
+            >= F.lit(_SEM_TAU)
+        )
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("witness_id"))
+    )
+    return (
+        n.join(wit, n["vec_id"] == wit["id_a"], "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.when(F.col("witness_id").isNull(), "keep")
+            .otherwise("drop")
+            .alias("action"),
+            F.col("witness_id").cast("bigint").alias("witness_id"),
+        )
+        .localCheckpoint()  # corpus-sized; driver count+collect reuse
     )
 
 

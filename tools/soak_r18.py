@@ -144,7 +144,62 @@ def main() -> int:
     print(
         f"\nrecon_remediate_apply: {n_examples - failures}/{n_examples} clean"
     )
-    return 1 if failures else 0
+    f2 = soak_semantic(spark, n_examples)
+    print(f"x_dedup_semantic: {n_examples - f2}/{n_examples} clean")
+    return 1 if failures or f2 else 0
+
+
+# -- second r18 addition: x_dedup_semantic ------------------------------------
+#
+# Pool: dyadic-exact vectors (no float32 storage drift) spanning the
+# hazard shapes — exact duplicates under distinct ids (drop traffic),
+# sign-boundary twins (cross-bucket recall misses), zero vectors and
+# NULL/truncated embeddings (NULL-cosine keeps), scaled copies (cos 1.0
+# exactly under dyadic arithmetic), and near-threshold directions. Each
+# draw asserts DuckDB oracle parity through the registered query AND the
+# pure-Python replica from tests/test_round18_semantic.py.
+
+_SEM_VEC_POOL = [
+    None,
+    [],
+    [0.0] * 64,
+    [1.0] + [0.0] * 63,
+    [2.0] + [0.0] * 63,            # scaled copy: cos exactly 1.0
+    [-1.0] + [0.0] * 63,           # sign twin: other bucket
+    [1.0, 1.0] + [0.0] * 62,
+    [0.5, 0.5] + [0.0] * 62,       # scaled copy of the above
+    [1.0, 0.25] + [0.0] * 62,      # cos vs [1,0] ≈ 0.970 < τ
+    [1.0, 0.125] + [0.0] * 62,     # cos vs [1,0] ≈ 0.992 ≥ τ
+    [1.0] * 4,                     # truncated
+    [1.0] * 8 + [0.0] * 56,
+    [0.5] * 64,
+]
+
+
+def soak_semantic(spark, n_examples: int) -> int:
+    from tests.test_round10_properties import _oracle_parity
+    from tests.test_round13_emb_hostile_properties import _write_embeddings
+    from tests.test_round18_semantic import _py_semantic, _run
+
+    rng = random.Random(282828)
+    failures = 0
+    for ex in range(n_examples):
+        n = rng.randint(1, 13)
+        vecs = [rng.choice(_SEM_VEC_POOL) for _ in range(n)]
+        d = tempfile.mkdtemp(prefix="rhds_soak18s_")
+        try:
+            _write_embeddings(d, vecs)
+            got = _run(spark, d)
+            want = _py_semantic(list(enumerate(vecs)))
+            assert got == want, f"replica mismatch: {got} != {want}"
+            _oracle_parity(spark, d, ("x_dedup_semantic",))
+            print(f"[{ex + 1:2d}/{n_examples}] ok  ({n} vectors)")
+        except AssertionError as e:
+            failures += 1
+            print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return failures
 
 
 if __name__ == "__main__":
