@@ -851,6 +851,167 @@ def x_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x_sim_recall — ANN recall calibration (exact top-k vs IVF top-k, round 18)
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+_RECALL_COS_GUARD = """CASE WHEN len({v}) = len(q.qe)
+              THEN {dot} / ({nrm} * q.qn) END"""
+
+_SIM_RECALL_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         {IVF_SIG_SQL} AS bucket,
+         sqrt({duck_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, bucket AS qb, embedding AS qe, nrm AS qn
+  FROM n WHERE ((vec_id % 100) + 100) % 100 = 1
+),
+-- equal-length guard: same asymmetry x_dedup_semantic documents
+-- (duck_dot ranges over the FIRST argument's length; Spark's zip_with
+-- NULL-pads), so different-length pairs are excluded identically
+sc AS (
+  SELECT q.qid, q.qb, n.vec_id, n.bucket,
+         {_RECALL_COS_GUARD.format(v='n.embedding',
+                                   dot=duck_dot('n.embedding', 'q.qe'),
+                                   nrm='n.nrm')} AS cos
+  FROM n, q WHERE n.vec_id <> q.qid
+),
+sc2 AS (SELECT * FROM sc WHERE cos IS NOT NULL),
+ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+             AS rn
+    FROM sc2
+  ) WHERE rn <= {_RECALL_K}
+),
+iv AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+             AS rn
+    FROM sc2 WHERE bucket = qb
+  ) WHERE rn <= {_RECALL_K}
+),
+exc AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+ivc AS (SELECT qid, COUNT(*) AS n_ivf FROM iv GROUP BY 1),
+hit AS (
+  SELECT ex.qid, COUNT(*) AS n_hit
+  FROM ex JOIN iv ON ex.qid = iv.qid AND ex.vec_id = iv.vec_id
+  GROUP BY 1
+)
+SELECT q.qid,
+       CAST(COALESCE(exc.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(ivc.n_ivf, 0) AS BIGINT) AS n_ivf,
+       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+       COALESCE(hit.n_hit, 0) / 10.0 AS recall_at_10
+FROM q LEFT JOIN exc ON q.qid = exc.qid
+       LEFT JOIN ivc ON q.qid = ivc.qid
+       LEFT JOIN hit ON q.qid = hit.qid
+"""
+
+
+@query("x_sim_recall", oracle=_SIM_RECALL_ORACLE)
+def x_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall calibration (SURVEY §7.14 r19-queue vet note, built
+    same-round per the r15/r17 late-vet precedent) — the embedding twin
+    of x_minhash_jaccard_est: for the deterministic query sample
+    (``pmod(vec_id, 100) == 1``), compare the EXACT cosine top-10 over
+    the whole corpus against x_sim_ivf's bucket-restricted top-10 (the
+    shared :func:`ivf_sig` quantizer) and report per query
+
+      (qid, n_exact, n_ivf, n_hit, recall_at_10)
+
+    — the measurement that justifies trusting the IVF prune at scale,
+    exactly what x_minhash_jaccard_est does for MinHash banding.
+    recall_at_10 is a RAW double division by the constant k (the
+    repo-wide small-int-ratio convention — never engine ROUND); sub-k
+    corpora report their true list sizes with the same denominator
+    (documented, no LEAST fork). Ranks are total on both engines:
+    cosines are bit-identical (shared fold order + seeds) and ties
+    break by vec_id — the x_sim_ivf precedent. The query's self-row is
+    excluded; NULL cosines (zero-norm / NULL / length-mismatched
+    vectors, with the oracle's equal-length guard) fall out of both
+    lists identically.
+
+    Plan shape, by side: the EXACT side broadcasts the sample-sized
+    query frame against one corpus scan — a deliberate
+    BroadcastNestedLoopJoin (whitelisted in the plan lint): brute-force
+    scoring has no equi key BY DEFINITION, the build side is bounded by
+    the 1%% sample, and per-partition window partials keep the top-k
+    exchange sample-sized. This is the calibration COST the op exists
+    to price — at 100 TB you run it on a sampled corpus slice, the same
+    story x_minhash_jaccard_est documents for its exact-Jaccard side.
+    The IVF side is an EQUI-join on bucket (sample × bucket-mates —
+    metadata-sized). The per-vector signature+norm table derives once,
+    localCheckpointed, and feeds the query sample, both scoring sides,
+    and nothing else; counts and the hit intersection are qid-keyed
+    equi-joins."""
+    e = load(spark, sf_dir, "embeddings")
+    n = (
+        e.select("vec_id", ivf_sig().alias("bucket"), "embedding")
+        .withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+        .localCheckpoint()
+    )
+    q = n.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 1).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qb"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.try_divide(dot("embedding", "qe"), F.col("nrm") * F.col("qn"))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id")
+        )
+        return (
+            scored.filter(F.col("cos").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _RECALL_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("cos", cos)
+    )
+    ivf = topk(
+        n.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("qid")),
+        ).withColumn("cos", cos)
+    )
+    exc = exact.groupBy("qid").agg(F.count("*").alias("n_exact"))
+    ivc = ivf.groupBy("qid").agg(F.count("*").alias("n_ivf"))
+    hit = (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        q.select("qid")
+        .join(exc, "qid", "left")
+        .join(ivc, "qid", "left")
+        .join(hit, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_exact", zero).alias("n_exact"),
+            F.coalesce("n_ivf", zero).alias("n_ivf"),
+            F.coalesce("n_hit", zero).alias("n_hit"),
+            (F.coalesce("n_hit", zero) / F.lit(10.0)).alias("recall_at_10"),
+        )
+        .localCheckpoint()  # sample-sized; driver count+collect reuse
+    )
+
+
+# ---------------------------------------------------------------------------
 # x_sim_pairs — top-3 most-similar pairs per label
 # ---------------------------------------------------------------------------
 

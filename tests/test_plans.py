@@ -382,6 +382,11 @@ def test_no_accidental_cartesian_or_bnl_anywhere(spark, sf_dir):
         "x_domain_mix",      # sorted-fold normalizer scalar
         "x_embed_quantize",  # global [min,max] grid row
         "x_sim_search",      # the probe vector row
+        "x_sim_recall",      # the 1% query-sample broadcast against the
+                             # corpus scan: brute-force exact scoring has
+                             # no equi key by definition; sample-bounded
+                             # build side (the calibration cost the op
+                             # exists to price — r18 vet note)
         "x_text_perplexity", # corpus token-count scalar
         "x_text_tfidf",      # doc-count scalar for the IDF term
         "sketch_kmv",        # 1-row sketch/exact scalars cross-attached

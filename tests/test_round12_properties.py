@@ -1080,6 +1080,7 @@ _EMB_QUERIES = (
     "x_dedup_embed", "x_sim_search", "x_sim_ivf", "x_sim_pairs",
     "x_knn_graph", "x_embed_quantize", "x_embed_quantize_perdim",
     "x_dedup_semantic",  # r18: joins the family + r13 hostile-vector zoo
+    "x_sim_recall",  # r18: ANN recall calibration joins the same zoo
 )
 
 

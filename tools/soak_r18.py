@@ -146,7 +146,9 @@ def main() -> int:
     )
     f2 = soak_semantic(spark, n_examples)
     print(f"x_dedup_semantic: {n_examples - f2}/{n_examples} clean")
-    return 1 if failures or f2 else 0
+    f3 = soak_recall(spark, n_examples)
+    print(f"x_sim_recall: {n_examples - f3}/{n_examples} clean")
+    return 1 if failures or f2 or f3 else 0
 
 
 # -- second r18 addition: x_dedup_semantic ------------------------------------
@@ -193,6 +195,42 @@ def soak_semantic(spark, n_examples: int) -> int:
             want = _py_semantic(list(enumerate(vecs)))
             assert got == want, f"replica mismatch: {got} != {want}"
             _oracle_parity(spark, d, ("x_dedup_semantic",))
+            print(f"[{ex + 1:2d}/{n_examples}] ok  ({n} vectors)")
+        except AssertionError as e:
+            failures += 1
+            print(f"[{ex + 1:2d}/{n_examples}] FAIL {str(e)[:500]}")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return failures
+
+
+# -- third r18 addition: x_sim_recall -----------------------------------------
+#
+# Pool: the semantic pool's dyadic vectors (tie-heavy: scaled copies make
+# exact cosine ties the COMMON case, stressing the vec_id tie-break at
+# the rank-10 boundary) + NULL/zero/truncated vectors. Draw sizes up to
+# 13 keep sub-k lists in play; id 1 (and 101 via +100 draws) sample as
+# queries. Each draw asserts DuckDB oracle parity AND the pure-Python
+# replica.
+
+
+def soak_recall(spark, n_examples: int) -> int:
+    from tests.test_round10_properties import _oracle_parity
+    from tests.test_round13_emb_hostile_properties import _write_embeddings
+    from tests.test_round18_recall import _py_recall, _run
+
+    rng = random.Random(383838)
+    failures = 0
+    for ex in range(n_examples):
+        n = rng.randint(2, 13)
+        vecs = [rng.choice(_SEM_VEC_POOL) for _ in range(n)]
+        d = tempfile.mkdtemp(prefix="rhds_soak18r_")
+        try:
+            _write_embeddings(d, vecs)
+            got = _run(spark, d)
+            want = _py_recall(list(enumerate(vecs)))
+            assert got == want, f"replica mismatch: {got} != {want}"
+            _oracle_parity(spark, d, ("x_sim_recall",))
             print(f"[{ex + 1:2d}/{n_examples}] ok  ({n} vectors)")
         except AssertionError as e:
             failures += 1
