@@ -38,7 +38,20 @@ from ..registry import query
 
 
 def orders_target(orders: DataFrame, faulty: bool = True) -> DataFrame:
-    """Target-side copy of orders; ``faulty=True`` injects the known faults."""
+    """Target-side copy of orders; ``faulty=True`` injects the known faults.
+
+    Single-scan formulation (r18, guide §2.4/§1.2-1): the duplicate-key
+    fault is an ``explode(sequence(1, copies))`` over the perturbed row
+    (copies = 2 for the %1000==21 keys) instead of the original
+    ``perturbed UNION ALL perturbed.filter(...)``, which re-scanned the
+    100 TB source once per union arm — and did so at EVERY reference to
+    the target inside a consumer's plan. Row multiset is identical (the
+    duplicate is the same perturbed row either way; only adjacency
+    differs), and every consumer is order-insensitive: aggregates, joins,
+    full-row DISTINCT, deterministic md5-prefix sampling, and
+    row_number-over-canonical-hash dedups whose ties are value-identical
+    rows. The DuckDB twin (ORDERS_TGT_CTE) keeps the UNION ALL spelling —
+    same multiset."""
     if not faulty:
         return orders
     kept = orders.filter(F.col("o_orderkey") % 1000 != 7)
@@ -54,8 +67,11 @@ def orders_target(orders: DataFrame, faulty: bool = True) -> DataFrame:
         .otherwise(F.col("o_orderpriority"))
         .alias("o_orderpriority"),
     )
-    dups = perturbed.filter(F.col("o_orderkey") % 1000 == 21)
-    return perturbed.unionAll(dups)
+    copies = F.when(F.col("o_orderkey") % 1000 == 21, 2).otherwise(1)
+    return (
+        perturbed.withColumn("_copy_i", F.explode(F.sequence(F.lit(1), copies)))
+        .drop("_copy_i")
+    )
 
 
 #: DuckDB CTE twin of :func:`orders_target` (faulty). Prepend to oracle SQL.

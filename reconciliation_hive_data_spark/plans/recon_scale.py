@@ -603,6 +603,28 @@ def _bh_digest(words: DataFrame, tag: str) -> DataFrame:
     )
 
 
+def _bh_same_digest() -> F.Column:
+    """Null-safe per-bucket digest equality (count + both words)."""
+    return (
+        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
+        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
+        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
+    )
+
+
+def _bh_bad(sd: DataFrame, td: DataFrame) -> DataFrame:
+    """Digest-tier disagreement list, localCheckpoint-MATERIALIZED (r18,
+    guide §2.4/§3.3): ``bad`` fans out to 2-3 physical-plan sites in every
+    consumer (the two per-side broadcast prunes inside _bh_key_diff, plus
+    the report's own join back), and without materialization each site
+    re-inlines the whole two-scan digest subtree — recon_bucket_hash's
+    physical plan carried 12 parquet scans where the algorithm needs 4
+    (r18 plan audit, plans/r18/recon_bucket_hash_before.txt). The frame is
+    bucket-bounded (≤ _BH_BUCKETS rows) at ANY data size, so the
+    checkpoint is metadata-sized and the digest tier runs exactly once."""
+    return sd.join(td, "bucket", "full_outer").filter(~_bh_same_digest()).localCheckpoint()
+
+
 def _bh_key_diff(src: DataFrame, tgt: DataFrame, bad: DataFrame) -> DataFrame:
     """Drill tier shared by recon_bucket_hash / recon_bucket_drill:
     broadcast the (≤ _BH_BUCKETS-row, damage-sized) bad-bucket list so each
@@ -665,12 +687,7 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
     words, and the number of differing keys inside it; identical tables
     produce zero rows."""
     sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
-    same = (
-        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
-        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
-        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
-    )
-    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+    bad = _bh_bad(sd, td)
     key_diff = _bh_key_diff(src, tgt, bad)
     bad_keys = key_diff.groupBy("bucket").agg(F.count("*").alias("n_bad_keys"))
 
@@ -818,12 +835,7 @@ def recon_bucket_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "orders")
     tgt = orders_target(src)
     sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
-    same = (
-        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
-        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
-        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
-    )
-    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+    bad = _bh_bad(sd, td)
     kd = _bh_key_diff(src, tgt, bad)
     zero = F.lit(0).cast("bigint")
     return kd.select(
@@ -951,17 +963,20 @@ def recon_remediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remediation_plan(src, orders_target(src))
 
 
-def remediation_plan(src: DataFrame, tgt: DataFrame) -> DataFrame:
+def remediation_plan(
+    src: DataFrame, tgt: DataFrame, sd: DataFrame | None = None
+) -> DataFrame:
     """The reusable core of recon_remediate (docstring there): drill-tier
     fault list → write-ready per-key action rows with deterministically
-    elected canonical-unit source payloads."""
-    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
-    same = (
-        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
-        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
-        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
-    )
-    bad = sd.join(td, "bucket", "full_outer").filter(~same)
+    elected canonical-unit source payloads.
+
+    ``sd`` lets remediation_apply_report pass an already-materialized
+    source digest so the apply→re-verify pipeline scans+digests the
+    source once instead of twice (r18, guide §2.4)."""
+    if sd is None:
+        sd = _bh_digest(_bh_words(src), "src")
+    td = _bh_digest(_bh_words(tgt), "tgt")
+    bad = _bh_bad(sd, td)
     faults = (
         _bh_key_diff(src, tgt, bad)
         .select(
@@ -1081,7 +1096,7 @@ FROM pa LEFT JOIN ra ON pa.action = ra.action
 
 
 def remediation_apply_frames(
-    src: DataFrame, tgt: DataFrame
+    src: DataFrame, tgt: DataFrame, sd: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Apply :func:`remediation_plan`'s action list to ``tgt``; returns
     ``(plan, tgt_after)`` where ``tgt_after`` is the post-apply target
@@ -1111,7 +1126,7 @@ def remediation_apply_frames(
     Neither the anti-join list nor the payload frame carries a broadcast
     HINT (ADVICE r16 precedent): both are damage-sized, so AQE broadcasts
     them under the threshold and degrades gracefully past it."""
-    plan = remediation_plan(src, tgt)  # localCheckpointed: one materialization
+    plan = remediation_plan(src, tgt, sd=sd)  # localCheckpointed once
     cols = [name for name, _ in _ORDER_HASH_COLS]
     fault_keys = plan.select(F.col("o_orderkey").alias("fk"))
     kept = tgt.select(*cols).join(
@@ -1142,15 +1157,14 @@ def remediation_apply_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
     """The reusable core of recon_remediate_apply (docstring there):
     apply the remediation plan, re-run the digest recon src vs post-apply
     target, and report per-action applied counts + residual convergence."""
-    plan, tgt_after = remediation_apply_frames(src, tgt)
-    sd = _bh_digest(_bh_words(src), "src")
+    # One source digest serves BOTH the fault-detection tier (inside
+    # remediation_plan) and the post-apply re-verify: bucket-bounded, so
+    # the checkpoint is metadata-sized while saving one full source
+    # scan+digest per run (r18, guide §2.4).
+    sd = _bh_digest(_bh_words(src), "src").localCheckpoint()
+    plan, tgt_after = remediation_apply_frames(src, tgt, sd=sd)
     td = _bh_digest(_bh_words(tgt_after), "tgt")
-    same = (
-        F.col("src_cnt").eqNullSafe(F.col("tgt_cnt"))
-        & F.col("src_d1").eqNullSafe(F.col("tgt_d1"))
-        & F.col("src_d2").eqNullSafe(F.col("tgt_d2"))
-    )
-    bad_after = sd.join(td, "bucket", "full_outer").filter(~same)
+    bad_after = _bh_bad(sd, td)
     resid = _bh_key_diff(src, tgt_after, bad_after).select("bucket", "k")
     zero = F.lit(0).cast("bigint")
     per_action = plan.groupBy("action").agg(

@@ -289,6 +289,34 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # already-string column is a no-op); fronted per the rewrite rule.
     "recon_partition_evolve": 16,
     "recon_layout_compact": 16,
+    # r18 OPTIMIZATION round, guide §2.4 (remove redundant passes): the
+    # faulty-target fixture orders_target() now derives its duplicate-key
+    # fault via explode(sequence(1, copies)) in ONE source scan instead of
+    # UNION ALL (which re-scanned the source once per union arm at every
+    # target reference in a consumer's plan); row multiset identical,
+    # every consumer order-insensitive. Additionally the bucket-recon
+    # digest tier materializes its bucket-bounded `bad` list once
+    # (_bh_bad localCheckpoint) instead of re-inlining the two-scan
+    # digest subtree at 2-3 plan sites, and remediate_apply shares ONE
+    # materialized source digest between fault detection and the
+    # post-apply re-verify. Results bit-identical (strict parity 16/16 at
+    # sf0.01, r18 session); fronted per the rewrite rule.
+    "recon_rowcount": 18,
+    "recon_colfp": 18,
+    "recon_keys_missing": 18,
+    "recon_keys_dup": 18,
+    "recon_rowhash": 18,
+    "recon_celldiff": 18,
+    "recon_tolerance": 18,
+    "recon_partition_drill": 18,
+    "recon_api_summary": 18,
+    "recon_crossformat": 18,
+    "recon_agg_drift": 18,
+    "recon_sample_audit": 18,
+    "recon_bucket_hash": 18,
+    "recon_bucket_drill": 18,
+    "recon_remediate": 18,
+    "recon_remediate_apply": 18,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
