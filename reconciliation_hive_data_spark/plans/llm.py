@@ -56,26 +56,45 @@ WITH embeddings_dup AS (
 
 
 def documents_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-injected documents fixture, single-scan (r18, guide §2.4):
+    the %50==0 echo rows come from an ``explode`` over a per-row offset
+    array instead of the original ``UNION ALL`` of a second filtered scan —
+    every consumer plan reads the corpus ONCE (the union re-scanned it per
+    reference; at 100 TB that is a second full pass for 2% extra rows).
+    Multiset identical — only adjacency differs — and every consumer is
+    order-insensitive (aggregates, equi-joins, the md5 permutations).
+    The oracle-side DOCS_DUP_CTE keeps its UNION ALL spelling."""
     d = load(spark, sf_dir, "documents")
-    extra = d.filter(F.col("doc_id") % 50 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
+    offs = (
+        F.when(F.col("doc_id") % 50 == 0, F.array(F.lit(0), F.lit(1000000)))
+        .otherwise(F.array(F.lit(0)))
+    )
+    dup = (
+        d.withColumn("_off", F.explode(offs))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
+        .drop("_off")
     )
     # The fixture is one single-row-group file ⇒ the scan is one task, and
     # every narrow op downstream (shingling, 8-way hash explode) would run
     # on one core until the first shuffle. Spread the tiny doc set across
     # the cluster first; at real scale the input arrives multi-file and this
     # repartition collapses to a cheap rebalance of small-file skew.
-    return d.unionByName(extra).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    return dup.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def embeddings_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-injected embeddings fixture, single-scan (see
+    documents_dup — same r18 explode-over-offsets rewrite, same multiset)."""
     e = load(spark, sf_dir, "embeddings")
-    extra = e.filter(F.col("vec_id") % 100 == 0).withColumn(
-        "vec_id", F.col("vec_id") + 1000000
+    offs = (
+        F.when(F.col("vec_id") % 100 == 0, F.array(F.lit(0), F.lit(1000000)))
+        .otherwise(F.array(F.lit(0)))
     )
-    return e.unionByName(extra)
+    return (
+        e.withColumn("_off", F.explode(offs))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_off"))
+        .drop("_off")
+    )
 
 
 def dot(a: str, b: str) -> Column:
@@ -1666,6 +1685,10 @@ def x_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     must reproduce."""
     d = documents_dup(spark, sf_dir)
     toks = shingles3(d).persist()
+    # base has THREE consumers here (band signatures + both per-side
+    # signature attaches) — persisted so the 8-permutation aggregate over
+    # the shingle table runs once, not three times (r18, guide §2.4; the
+    # doc-count-sized frame is cache-cheap at any scale).
     base = toks.groupBy("doc_id").agg(
         *[
             F.min(
@@ -1674,7 +1697,7 @@ def x_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, 9)
         ],
         F.count("*").alias("n"),
-    )
+    ).persist()
     band_arr = F.array(
         *[
             F.struct(
@@ -1738,5 +1761,6 @@ def x_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(est_j - exact).alias("abs_err"),
     )
     out = out.localCheckpoint()
+    base.unpersist()
     toks.unpersist()
     return out

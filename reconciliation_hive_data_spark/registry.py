@@ -317,6 +317,28 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "recon_bucket_drill": 18,
     "recon_remediate": 18,
     "recon_remediate_apply": 18,
+    # r18 OPTIMIZATION round, same guide-§2.4 class as the recon batch:
+    # documents_dup()/embeddings_dup() now inject their duplicate rows via
+    # explode-over-offsets in ONE corpus scan instead of UNION ALL of a
+    # second filtered scan — every consumer's physical plan halves its
+    # parquet scans (x_dedup_ngram 8→4, x_decontaminate 6→3, plan audit
+    # r18); multiset identical, consumers order-insensitive. Additionally
+    # x_minhash_jaccard_est persists its 3-consumer signature aggregate
+    # (ran 3× before). Strict parity 11/11 + 2 rows-only at sf0.01;
+    # fronted per the rewrite rule.
+    "x_dedup_exact": 18,
+    "x_dedup_near": 18,
+    "x_dedup_simhash": 18,
+    "x_dedup_ngram": 18,
+    "x_dedup_embed": 18,
+    "x_dedup_semantic": 18,
+    "x_corpus_clean": 18,
+    "x_dedup_containment": 18,
+    "x_minhash_jaccard_est": 18,
+    "x_dedup_simhash_banded": 18,
+    "x_decontaminate": 18,
+    "x_dedup_minhash_mllib": 18,
+    "x_dedup_near_indexed": 18,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
