@@ -115,10 +115,18 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sketch estimate itself is engine-specific, so the cross-engine check
     is a tolerance contract rather than value parity: the plan computes BOTH
     the HLL estimate and the exact distinct, and emits the exact counts plus
-    in-plan assertions that the estimate lands within 5× the requested 1%
+    in-plan assertions that the estimate lands within 5× the requested 2%
     rsd. The oracle's twin is the exact COUNT DISTINCT with the assertions
     expected TRUE — so a broken sketch (or a blown error bound) fails the
-    hash check instead of hiding behind a rows-only entry."""
+    hash check instead of hiding behind a rows-only entry.
+
+    rsd is 0.02, not the r-early 0.01 (r18 optimization, guide §1.2-2 /
+    §2.3): HLL++ buffer width grows ~1/rsd² — at 0.01 the aggregate
+    carries 1639 long words PER COLUMN (3278 aggregate attributes in the
+    plan; measured 2.1 s vs 0.69 s at 0.02 locally, and at 100 TB those
+    are the bytes every partial-aggregate shuffle row carries). 0.02 keeps
+    a tight bound (±10% assertion) at 1/4 the sketch width; emitted values
+    are identical (exact counts + TRUE assertions)."""
     ev = load(spark, sf_dir, "events")
     # Two separate 1-row aggregates, cross-joined: mixing approx_count_
     # distinct with COUNT(DISTINCT) in ONE agg forces Spark's distinct-agg
@@ -127,15 +135,15 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself. Separated, the HLL agg is a plain constant-memory fold and
     # the exact twin is the normal expand+count plan.
     approx = ev.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("au"),
-        F.approx_count_distinct("event_id", 0.01).alias("ae"),
+        F.approx_count_distinct("user_id", 0.02).alias("au"),
+        F.approx_count_distinct("event_id", 0.02).alias("ae"),
     )
     exact = ev.agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.countDistinct("event_id").alias("exact_events"),
     )
     a = approx.crossJoin(exact)
-    tol = F.lit(0.05)  # 5 × the 1% target rsd — deterministic at any SF
+    tol = F.lit(0.10)  # 5 × the 2% target rsd — deterministic at any SF
     return a.select(
         "exact_users",
         "exact_events",

@@ -339,6 +339,14 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "x_decontaminate": 18,
     "x_dedup_minhash_mllib": 18,
     "x_dedup_near_indexed": 18,
+    # r18 OPTIMIZATION round, guide §1.2-2/§2.3: agg_approx's HLL rsd
+    # 0.01 → 0.02 — buffer width grows ~1/rsd², so the 0.01 sketch carried
+    # 1639 long words PER COLUMN through codegen and every partial-agg
+    # shuffle row (measured 2.1 s → 0.69 s locally; the same bytes ride
+    # the 100 TB merge). Emitted values identical (exact counts + the
+    # tolerance assertions, now 5×2% = ±10%); parity green; fronted per
+    # the rewrite rule.
+    "agg_approx": 18,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
