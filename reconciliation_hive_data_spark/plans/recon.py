@@ -304,19 +304,28 @@ FROM (SELECT DISTINCT o_orderkey FROM orders_tgt
 
 @query("recon_keys_missing", oracle=_KEYS_MISSING_ORACLE)
 def recon_keys_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keys present on one side only — sort-merge ANTI join both directions
-    (broadcast would be wrong at 100 TB: both sides are fact-sized)."""
+    """Keys present on one side only — ONE sort-merge FULL OUTER join over
+    the two distinct key sets, null-side classified (broadcast would be
+    wrong at 100 TB: both sides are fact-sized). r18 rewrite (guide §2.4):
+    the original ran two directed ANTI joins, which inlined each side's
+    distinct aggregate twice and paid two merge passes; the full-outer
+    emits the identical multiset from one pass over the same two
+    exchanges."""
     orders = load(spark, sf_dir, "orders")
     tgt = orders_target(orders)
     src_keys = orders.select("o_orderkey").distinct()
-    tgt_keys = tgt.select("o_orderkey").distinct()
-    miss_t = src_keys.join(tgt_keys, "o_orderkey", "left_anti").select(
-        "o_orderkey", F.lit("MISSING_IN_TARGET").alias("side")
+    tgt_keys = tgt.select(F.col("o_orderkey").alias("t_key")).distinct()
+    j = src_keys.join(
+        tgt_keys, F.col("o_orderkey") == F.col("t_key"), "full_outer"
     )
-    miss_s = tgt_keys.join(src_keys, "o_orderkey", "left_anti").select(
-        "o_orderkey", F.lit("MISSING_IN_SOURCE").alias("side")
+    return j.filter(
+        F.col("o_orderkey").isNull() | F.col("t_key").isNull()
+    ).select(
+        F.coalesce("o_orderkey", "t_key").alias("o_orderkey"),
+        F.when(F.col("t_key").isNull(), "MISSING_IN_TARGET")
+        .otherwise("MISSING_IN_SOURCE")
+        .alias("side"),
     )
-    return miss_t.unionAll(miss_s)
 
 
 # ---------------------------------------------------------------------------

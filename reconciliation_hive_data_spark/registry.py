@@ -347,6 +347,12 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # tolerance assertions, now 5×2% = ±10%); parity green; fronted per
     # the rewrite rule.
     "agg_approx": 18,
+    # r18 OPTIMIZATION round: keys_missing's two directed ANTI joins
+    # (each inlining both sides' distinct aggregates) replaced by ONE
+    # full-outer over the same two distincts with null-side
+    # classification — identical multiset, one merge pass instead of two.
+    # Parity green; fronted per the rewrite rule.
+    "recon_keys_missing": 18,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
