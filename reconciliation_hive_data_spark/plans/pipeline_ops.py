@@ -101,16 +101,28 @@ SELECT doc_id, cluster_id, cluster_size FROM sized WHERE cluster_size >= 2
 
 
 def _documents3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-chain fixture: %50 keys echo at +1M/+2M, %250 keys deepen
+    the chain at +3M/+4M/+5M. Single-scan explode-over-offsets (r18, guide
+    §2.4) — the original 5-arm UNION ALL re-scanned the corpus SIX times
+    per consumer-plan reference; multiset identical, consumers (md5 chain
+    window + CC) order-insensitive."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.filter(F.col("doc_id") % 50 == 0)
-    deep = d.filter(F.col("doc_id") % 250 == 0)
-    out = (
-        d.unionByName(dup.withColumn("doc_id", F.col("doc_id") + 1000000))
-        .unionByName(dup.withColumn("doc_id", F.col("doc_id") + 2000000))
+    deep = F.col("doc_id") % 250 == 0
+    dup = F.col("doc_id") % 50 == 0
+    offs = (
+        F.when(
+            deep,
+            F.array(*[F.lit(o) for o in
+                      (0, 1000000, 2000000, 3000000, 4000000, 5000000)]),
+        )
+        .when(dup, F.array(F.lit(0), F.lit(1000000), F.lit(2000000)))
+        .otherwise(F.array(F.lit(0)))
     )
-    for off in (3000000, 4000000, 5000000):
-        out = out.unionByName(deep.withColumn("doc_id", F.col("doc_id") + off))
-    return out
+    return (
+        d.withColumn("_off", F.explode(offs))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_off"))
+        .drop("_off")
+    )
 
 
 _CC_MAX_ROUNDS = 20

@@ -353,6 +353,12 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # classification — identical multiset, one merge pass instead of two.
     # Parity green; fronted per the rewrite rule.
     "recon_keys_missing": 18,
+    # r18 OPTIMIZATION round: _documents3's 5-arm UNION ALL (SIX corpus
+    # scans per plan reference) → single-scan explode-over-offsets, the
+    # documents_dup class. Isolated A/B: clusters 2.79→2.30 s, drop_list
+    # 2.38→2.05 s. Multiset identical, parity green; fronted.
+    "x_dedup_clusters": 18,
+    "x_dedup_drop_list": 18,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
