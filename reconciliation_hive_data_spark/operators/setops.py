@@ -141,10 +141,17 @@ def set_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup in this engine (SURVEY.md §7.3.4); it also broadcasts no state and
     shuffles once on the dedup key at scale."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    extra = o.filter(F.col("o_orderkey") % 20 == 0).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 1000000
+    # single-scan dup injection (r18, guide §2.4 — the documents_dup class):
+    # the %20 echo rows ride an explode instead of a second filtered scan
+    offs = (
+        F.when(F.col("o_orderkey") % 20 == 0, F.array(F.lit(0), F.lit(1000000)))
+        .otherwise(F.array(F.lit(0)))
     )
-    dups = o.unionByName(extra)
+    dups = (
+        o.withColumn("_off", F.explode(offs))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("_off"))
+        .drop("_off")
+    )
     w = Window.partitionBy("o_custkey", "o_totalprice").orderBy("o_orderkey")
     return (
         dups.withColumn("rn", F.row_number().over(w))

@@ -85,23 +85,35 @@ _CDC_COLS = (
 
 
 def _orders_v2(orders: DataFrame) -> DataFrame:
-    kept = orders.filter(F.col("o_orderkey") % 1000 != 7)
-    evolved = kept.select(
+    """v2 snapshot fixture, single-scan (r18, guide §2.4 — the
+    orders_target class): %7 keys deleted (empty offset array), %21 keys
+    additionally INSERTED at key+10M, the rest evolve in place. The %13 /
+    %34 perturbations are disjoint from %21 (mod 1000), so applying them
+    before the offset explode leaves the inserted copy raw — exactly the
+    original ``evolved UNION ALL inserted`` multiset, minus one full
+    source re-scan per plan reference."""
+    key = F.col("o_orderkey")
+    offs = (
+        F.when(key % 1000 == 7, F.array().cast("array<int>"))
+        .when(key % 1000 == 21, F.array(F.lit(0), F.lit(10000000)))
+        .otherwise(F.array(F.lit(0)))
+    )
+    evolved = orders.select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        F.when(F.col("o_orderkey") % 1000 == 13, F.col("o_totalprice") + 1.0)
+        F.when(key % 1000 == 13, F.col("o_totalprice") + 1.0)
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
         "o_orderdate",
-        F.when(F.col("o_orderkey") % 1000 == 34, F.lit(None).cast("string"))
+        F.when(key % 1000 == 34, F.lit(None).cast("string"))
         .otherwise(F.col("o_orderpriority"))
         .alias("o_orderpriority"),
+        F.explode(offs).alias("_off"),
     )
-    inserted = orders.filter(F.col("o_orderkey") % 1000 == 21).withColumn(
-        "o_orderkey", F.col("o_orderkey") + 10000000
+    return (
+        evolved.withColumn("o_orderkey", key + F.col("_off")).drop("_off")
     )
-    return evolved.unionByName(inserted)
 
 
 _CDC_DIFF_CASES = ",\n             ".join(

@@ -359,6 +359,13 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # 2.38→2.05 s. Multiset identical, parity green; fronted.
     "x_dedup_clusters": 18,
     "x_dedup_drop_list": 18,
+    # r18 OPTIMIZATION round, same single-scan class: set_dedup's %20
+    # echo fixture and recon_snapshot_cdc's v2 snapshot (_orders_v2 —
+    # delete/insert/evolve now one explode over per-row offset arrays,
+    # the delete arm an empty array). Multiset identical, parity green;
+    # fronted per the rewrite rule.
+    "set_dedup": 18,
+    "recon_snapshot_cdc": 18,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
