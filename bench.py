@@ -97,6 +97,12 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # Effective parallelism, read back from the LIVE context (not the env
+    # var): lets the caller verify the session really ran at the requested
+    # width — local[N] gives defaultParallelism == N.
+    eff_cpus = spark.sparkContext.defaultParallelism
+    master = spark.sparkContext.master
+
     full = {
         "metric": "total_wall_all_queries",
         "value": total,
@@ -104,6 +110,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n": n_passes,
+        "cpus": eff_cpus,
+        "master": master,
         "reps": reps,
         "budget_sec": budget,
         "failed": sorted(failed),
@@ -144,6 +152,8 @@ def main() -> None:
         "n": n_passes,
         "nq": len(timings),
         "nfail": len(failed),
+        "cpus": eff_cpus,
+        "master": master,
         "groups": groups,
         "queries": slowest,
         "full": full_name,

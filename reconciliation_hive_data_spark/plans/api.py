@@ -291,39 +291,184 @@ class ReconPair:
 
     def summary(self) -> DataFrame:
         """One row per check with its violation count — the report header a
-        reconciliation run prints first. Each count is a tiny aggregate over
-        an already-distributed check.
+        reconciliation run prints first.
 
-        Both sides are persisted for the duration of the report: the six
-        checks consume source and target twelve times behind different
-        shuffle keys, so without the cache every check re-scans the input
-        (and re-derives the target's fault-injection chain). The 6-row
-        report is materialized eagerly and the cache released — the same
-        persist-fanout-release lifecycle as the dedup signature tables. At
-        100 TB the equivalent is staging both sides once (DISK_ONLY or a
-        temp table) before fanning out the checks."""
-        self.source = self.source.persist()
-        self.target = self.target.persist()
-        checks = {
-            "count_diff_grains": self.row_counts(None).filter("status != 'MATCH'"),
-            "keys_missing": self.key_diff(),
-            "duplicate_keys": self.duplicate_keys(),
-            "row_hash_diffs": self.row_hash_diff(),
-            "cell_diffs": self.cell_diff(),
-            "fingerprint_diffs": self.fingerprints().filter("status != 'MATCH'"),
-        }
-        parts = [
-            df.agg(F.count("*").alias("violations")).select(
-                F.lit(name).alias("check"), "violations"
+        Fused computation (r19, guide §2.4): the six checks' COUNTS are
+        derived from two shared passes instead of six independent check
+        plans (which consumed source and target twelve times behind
+        different shuffle keys — r18's shape, kept only via persist):
+
+        - **per-key tier** (keys_missing, duplicate_keys, row_hash_diffs,
+          cell_diffs): the target is aggregated once per key — row count,
+          DISTINCT canonical-hash set, and the deterministic min-hash
+          survivor row (``min_by`` over the canonical row hash ==
+          cell_diff's row_number-over-hash dedup; tied rows hash-tie only
+          when their canonical serializations are identical, so the pick
+          is value-invisible) — then ONE full-outer join against the
+          per-row hashed source yields every per-row and per-key count:
+          a source row's hash mismatches = |t hash set| − [h ∈ set]; its
+          cell diffs = per-column null-safe/tolerance compares against the
+          survivor struct; key-level presence/duplicate flags re-aggregate
+          by key (no extra exchange — already key-partitioned). NULL keys
+          keep the joins' never-match semantics via a null-side grouping
+          column (each side's NULL-key group stays its own row, exactly as
+          the distinct+anti-join and per-side groupBys treated them).
+        - **global tier** (count_diff_grains, fingerprint_diffs): one
+          aggregate pass per side (the fingerprints() metric vector, whose
+          row_count metric already carries the count check — integer
+          counts differ by ≥ 1, so the 1e-9 fingerprint tolerance and the
+          exact count comparison agree with the separate spellings).
+
+        Each check's count is EXACTLY the row count of the corresponding
+        standalone method's frame (pinned against the unfused spelling in
+        tests/test_round19_opt.py and by the fault-census fuzz in
+        tests/test_api_fuzz.py); the methods themselves are unchanged.
+
+        The r18 persist-both-sides lifecycle is GONE with the fan-out that
+        justified it: each side now has exactly two consumers, and the
+        measured cache-population cost exceeded the second scan's price
+        (2.8-2.9 s vs 2.2-2.5 s per report at sf0.1, r19 A/B). At 100 TB
+        the same call holds — two column-pruned passes (the per-key tier
+        reads keys+compare+hash columns, the global tier compare columns
+        only) beat staging the full wide table once. The 6-row report is
+        still materialized eagerly (localCheckpoint) so the driver's
+        count/collect never re-runs the checks."""
+        from operator import add, or_
+
+        key = self._key()
+        cols = list(self.compare_cols)
+        h = canonical_row_hash(self._hash_cols())
+
+        # --- per-key tier: checks 2-5 from one exchange pair + join ----
+        s_rows = self.source.select(
+            *key, *cols, h.alias("_h"), F.lit(1).alias("_sp")
+        )
+        t_agg = (
+            self.target.select(*key, *cols, h.alias("_h"))
+            .groupBy(*key)
+            .agg(
+                F.count("*").alias("_tc"),
+                F.collect_set("_h").alias("_th"),
+                F.min_by(F.struct(*cols), F.col("_h")).alias("_tr"),
             )
-            for name, df in checks.items()
-        ]
-        report = reduce(lambda a, b: a.unionByName(b), parts)
-        report = report.withColumn(
-            "status", F.when(F.col("violations") == 0, "MATCH").otherwise("DIFF")
-        ).localCheckpoint()
-        self.source.unpersist()
-        self.target.unpersist()
+        )
+        j = s_rows.join(t_agg, key, "full_outer")
+        s_present = F.col("_sp").isNotNull()
+        t_present = F.col("_tc").isNotNull()
+        rh = F.when(
+            s_present & t_present,
+            F.size("_th") - F.array_contains("_th", F.col("_h")).cast("int"),
+        ).otherwise(F.lit(0))
+        cell_arms = []
+        for col, kind in self.compare_cols.items():
+            sc, tc = F.col(col), F.col("_tr").getField(col)
+            if kind == "double" and self.tolerance > 0:
+                differs = (sc.isNull() != tc.isNull()) | (
+                    ~sc.eqNullSafe(tc) & (F.abs(sc - tc) > F.lit(self.tolerance))
+                )
+            else:
+                differs = ~sc.eqNullSafe(tc)
+            cell_arms.append(F.when(differs, 1).otherwise(0))
+        cells = F.when(
+            s_present & t_present, reduce(add, cell_arms)
+        ).otherwise(F.lit(0))
+        # NULL keys never equi-join: each side's NULL-key group must stay
+        # its own row (the _bh_digest_both _nullside pattern)
+        nullside = F.when(
+            reduce(or_, [F.col(k).isNull() for k in key]),
+            F.coalesce(F.col("_sp"), F.lit(0)),
+        )
+        key_agg = j.groupBy(*key, nullside.alias("_ns")).agg(
+            F.sum(F.coalesce(F.col("_sp"), F.lit(0))).alias("_scnt"),
+            F.max("_tc").alias("_tcnt"),
+            F.sum(rh).alias("_rh"),
+            F.sum(cells).alias("_cells"),
+        )
+        zero = F.lit(0).cast("bigint")
+        one = F.lit(1).cast("bigint")
+        key_roll = key_agg.agg(
+            F.coalesce(
+                F.sum(
+                    F.when((F.col("_scnt") > 0) & F.col("_tcnt").isNull(), one)
+                    .otherwise(zero)
+                    + F.when((F.col("_scnt") == 0) & F.col("_tcnt").isNotNull(), one)
+                    .otherwise(zero)
+                ),
+                zero,
+            ).alias("keys_missing"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_scnt") > 1, one).otherwise(zero)
+                    + F.when(F.col("_tcnt") > 1, one).otherwise(zero)
+                ),
+                zero,
+            ).alias("duplicate_keys"),
+            F.coalesce(F.sum("_rh"), zero).cast("bigint").alias("row_hash_diffs"),
+            F.coalesce(F.sum("_cells"), zero).cast("bigint").alias("cell_diffs"),
+        )
+
+        # --- global tier: the fingerprint metric vector carries both ----
+        def side_agg(df: DataFrame) -> DataFrame:
+            aggs = [F.count("*").cast("double").alias("row_count")]
+            for col, kind in self.compare_cols.items():
+                aggs.append(
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                    .cast("double")
+                    .alias(f"nulls__{col}")
+                )
+                aggs.append(
+                    F.countDistinct(col).cast("double").alias(f"distinct__{col}")
+                )
+                if kind in ("int", "double"):
+                    aggs.append(money_sum(col, f"sum__{col}"))
+                    aggs.append(F.min(col).cast("double").alias(f"min__{col}"))
+                    aggs.append(F.max(col).cast("double").alias(f"max__{col}"))
+            return df.agg(*aggs)
+
+        sfp = side_agg(self.source)
+        metrics = sfp.columns
+        stack = ", ".join(f"'{m}', `{m}`" for m in metrics)
+
+        def unpivot(df: DataFrame, val: str) -> DataFrame:
+            return df.selectExpr(f"stack({len(metrics)}, {stack}) as (metric, {val})")
+
+        jfp = unpivot(sfp, "sval").join(
+            unpivot(side_agg(self.target), "tval"), "metric"
+        )
+        fp_match = F.col("sval").eqNullSafe(F.col("tval")) | (
+            F.abs(F.col("sval") - F.col("tval")) < 1e-9
+        )
+        fp_roll = jfp.agg(
+            F.sum(
+                F.when(
+                    (F.col("metric") == "row_count")
+                    & (F.col("sval") != F.col("tval")),
+                    one,
+                ).otherwise(zero)
+            ).alias("count_diff_grains"),
+            F.sum(F.when(fp_match, zero).otherwise(one)).alias(
+                "fingerprint_diffs"
+            ),
+        )
+
+        report = (
+            key_roll.crossJoin(fp_roll)
+            .selectExpr(
+                "stack(6, "
+                "'count_diff_grains', count_diff_grains, "
+                "'keys_missing', keys_missing, "
+                "'duplicate_keys', duplicate_keys, "
+                "'row_hash_diffs', row_hash_diffs, "
+                "'cell_diffs', cell_diffs, "
+                "'fingerprint_diffs', fingerprint_diffs"
+                ") as (check, violations)"
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("violations") == 0, "MATCH").otherwise("DIFF"),
+            )
+            .localCheckpoint()
+        )
         return report
 
 

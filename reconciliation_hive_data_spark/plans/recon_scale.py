@@ -633,8 +633,70 @@ def _bh_bad(sd: DataFrame, td: DataFrame) -> DataFrame:
     physical plan carried 12 parquet scans where the algorithm needs 4
     (r18 plan audit, plans/r18/recon_bucket_hash_before.txt). The frame is
     bucket-bounded (≤ _BH_BUCKETS rows) at ANY data size, so the
-    checkpoint is metadata-sized and the digest tier runs exactly once."""
+    checkpoint is metadata-sized and the digest tier runs exactly once.
+
+    r19 note: the plain src-vs-tgt digest tier now goes through
+    :func:`_bh_digest_both` (one union-tagged aggregate instead of two
+    aggregates + this merge join); this join form remains for the
+    apply→re-verify path, where the source digest is an already
+    materialized frame that must be reused, not recomputed."""
     return sd.join(td, "bucket", "full_outer").filter(~_bh_same_digest()).localCheckpoint()
+
+
+def _bh_digest_both(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Both sides' per-bucket digests from ONE union-tagged aggregate
+    (r19, guide §2.4): row-for-row identical to
+
+        _bh_digest(_bh_words(src), "src")
+            .join(_bh_digest(_bh_words(tgt), "tgt"), "bucket", "full_outer")
+
+    but with a single exchange (the tag column rides the same
+    map-side-combined groupBy) instead of two per-side exchanges plus a
+    merge join. Sides absent from a bucket keep the full-outer NULL
+    semantics: counts become NULL via the >0 guard, word sums are NULL
+    because SUM skips the other side's all-NULL when() arm. NULL buckets
+    (NULL keys) keep the join's two-row behavior — an equi-join never
+    matches NULL = NULL, so each side's NULL-bucket digest must stay its
+    own output row, which the _nullside grouping column preserves."""
+    tagged = (
+        _bh_words(src)
+        .withColumn("_s", F.lit(1))
+        .unionByName(_bh_words(tgt).withColumn("_s", F.lit(0)))
+    )
+    is_src = F.col("_s") == 1
+
+    def side_cnt(pred: F.Column) -> F.Column:
+        c = F.sum(F.when(pred, 1).otherwise(0))
+        return F.when(c > 0, c)
+
+    def side_word(pred: F.Column, col: str) -> F.Column:
+        return (
+            (F.sum(F.when(pred, F.col(col)).cast("decimal(38,0)")) % F.lit(_BH_MOD))
+            .cast("bigint")
+        )
+
+    return (
+        tagged.groupBy(
+            "bucket",
+            F.when(F.col("bucket").isNull(), F.col("_s")).alias("_nullside"),
+        )
+        .agg(
+            side_cnt(is_src).alias("src_cnt"),
+            side_word(is_src, "w1").alias("src_d1"),
+            side_word(is_src, "w2").alias("src_d2"),
+            side_cnt(~is_src).alias("tgt_cnt"),
+            side_word(~is_src, "w1").alias("tgt_d1"),
+            side_word(~is_src, "w2").alias("tgt_d2"),
+        )
+        .drop("_nullside")
+    )
+
+
+def _bh_bad_both(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """Digest-tier disagreement list from the fused both-sides aggregate,
+    localCheckpoint-materialized exactly like :func:`_bh_bad` (same
+    bucket-bounded size guarantee, same fan-out rationale)."""
+    return _bh_digest_both(src, tgt).filter(~_bh_same_digest()).localCheckpoint()
 
 
 def _bh_key_diff(src: DataFrame, tgt: DataFrame, bad: DataFrame) -> DataFrame:
@@ -649,7 +711,7 @@ def _bh_key_diff(src: DataFrame, tgt: DataFrame, bad: DataFrame) -> DataFrame:
     differing (bucket, k) with both sides' copy counts and word sums."""
     bad_buckets = F.broadcast(bad.select("bucket"))
 
-    def keyed(side: DataFrame, tag: str) -> DataFrame:
+    def pruned_words(side: DataFrame, tag_val: int) -> DataFrame:
         pruned = (
             side.withColumn("bucket", _bh_bucket()).join(bad_buckets, "bucket")
         )
@@ -659,28 +721,43 @@ def _bh_key_diff(src: DataFrame, tgt: DataFrame, bad: DataFrame) -> DataFrame:
             w = F.conv(F.substring(h, start, 8), 16, 10).cast("bigint")
             return w.alias(alias)
 
+        return pruned.select(
+            "bucket",
+            F.col("o_orderkey").alias("k"),
+            key_word(1, "w1"),
+            key_word(9, "w2"),
+            F.lit(tag_val).alias("_s"),
+        )
+
+    # One union-tagged (bucket, k) aggregate replaces the two per-side
+    # aggregates + full-outer merge (r19, guide §2.4 — the _bh_digest_both
+    # pattern at key grain). NULL buckets/keys never reach this tier (the
+    # inner prune join drops them), so no _nullside split is needed here;
+    # a side absent from a key keeps the full-outer NULLs via the >0 guard
+    # and SUM-over-all-NULL arms.
+    tagged = pruned_words(src, 1).unionByName(pruned_words(tgt, 0))
+    is_src = F.col("_s") == 1
+
+    def side_cnt(pred: F.Column) -> F.Column:
+        c = F.sum(F.when(pred, 1).otherwise(0))
+        return F.when(c > 0, c)
+
+    def side_word(pred: F.Column, col: str) -> F.Column:
         return (
-            pruned.select(
-                "bucket",
-                F.col("o_orderkey").alias("k"),
-                key_word(1, "w1"),
-                key_word(9, "w2"),
-            )
-            .groupBy("bucket", "k")
-            .agg(
-                F.count("*").alias(f"{tag}_c"),
-                (F.sum(F.col("w1").cast("decimal(38,0)")) % F.lit(_BH_MOD))
-                .cast("bigint")
-                .alias(f"{tag}_kw1"),
-                (F.sum(F.col("w2").cast("decimal(38,0)")) % F.lit(_BH_MOD))
-                .cast("bigint")
-                .alias(f"{tag}_kw2"),
-            )
+            (F.sum(F.when(pred, F.col(col)).cast("decimal(38,0)")) % F.lit(_BH_MOD))
+            .cast("bigint")
         )
 
     return (
-        keyed(src, "s")
-        .join(keyed(tgt, "t"), ["bucket", "k"], "full_outer")
+        tagged.groupBy("bucket", "k")
+        .agg(
+            side_cnt(is_src).alias("s_c"),
+            side_word(is_src, "w1").alias("s_kw1"),
+            side_word(is_src, "w2").alias("s_kw2"),
+            side_cnt(~is_src).alias("t_c"),
+            side_word(~is_src, "w1").alias("t_kw1"),
+            side_word(~is_src, "w2").alias("t_kw2"),
+        )
         .filter(
             ~(
                 F.col("s_c").eqNullSafe(F.col("t_c"))
@@ -698,8 +775,7 @@ def bucket_hash_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
     Returns one row per differing bucket with both sides' counts, digest
     words, and the number of differing keys inside it; identical tables
     produce zero rows."""
-    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
-    bad = _bh_bad(sd, td)
+    bad = _bh_bad_both(src, tgt)
     key_diff = _bh_key_diff(src, tgt, bad)
     bad_keys = key_diff.groupBy("bucket").agg(F.count("*").alias("n_bad_keys"))
 
@@ -846,8 +922,7 @@ def recon_bucket_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round9_properties.py)."""
     src = load(spark, sf_dir, "orders")
     tgt = orders_target(src)
-    sd, td = _bh_digest(_bh_words(src), "src"), _bh_digest(_bh_words(tgt), "tgt")
-    bad = _bh_bad(sd, td)
+    bad = _bh_bad_both(src, tgt)
     kd = _bh_key_diff(src, tgt, bad)
     zero = F.lit(0).cast("bigint")
     return kd.select(
@@ -976,19 +1051,19 @@ def recon_remediate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def remediation_plan(
-    src: DataFrame, tgt: DataFrame, sd: DataFrame | None = None
+    src: DataFrame, tgt: DataFrame, bad: DataFrame | None = None
 ) -> DataFrame:
     """The reusable core of recon_remediate (docstring there): drill-tier
     fault list → write-ready per-key action rows with deterministically
     elected canonical-unit source payloads.
 
-    ``sd`` lets remediation_apply_report pass an already-materialized
-    source digest so the apply→re-verify pipeline scans+digests the
-    source once instead of twice (r18, guide §2.4)."""
-    if sd is None:
-        sd = _bh_digest(_bh_words(src), "src")
-    td = _bh_digest(_bh_words(tgt), "tgt")
-    bad = _bh_bad(sd, td)
+    ``bad`` lets remediation_apply_report pass an already-materialized
+    digest-tier disagreement list (derived from the shared both-sides
+    digest checkpoint) so the apply→re-verify pipeline runs the digest
+    tier once instead of twice (r18 sd-sharing, restructured r19 around
+    :func:`_bh_digest_both`)."""
+    if bad is None:
+        bad = _bh_bad_both(src, tgt)
     faults = (
         _bh_key_diff(src, tgt, bad)
         .select(
@@ -1108,7 +1183,7 @@ FROM pa LEFT JOIN ra ON pa.action = ra.action
 
 
 def remediation_apply_frames(
-    src: DataFrame, tgt: DataFrame, sd: DataFrame | None = None
+    src: DataFrame, tgt: DataFrame, bad: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Apply :func:`remediation_plan`'s action list to ``tgt``; returns
     ``(plan, tgt_after)`` where ``tgt_after`` is the post-apply target
@@ -1138,7 +1213,7 @@ def remediation_apply_frames(
     Neither the anti-join list nor the payload frame carries a broadcast
     HINT (ADVICE r16 precedent): both are damage-sized, so AQE broadcasts
     them under the threshold and degrades gracefully past it."""
-    plan = remediation_plan(src, tgt, sd=sd)  # localCheckpointed once
+    plan = remediation_plan(src, tgt, bad=bad)  # localCheckpointed once
     cols = [name for name, _ in _ORDER_HASH_COLS]
     fault_keys = plan.select(F.col("o_orderkey").alias("fk"))
     kept = tgt.select(*cols).join(
@@ -1169,12 +1244,19 @@ def remediation_apply_report(src: DataFrame, tgt: DataFrame) -> DataFrame:
     """The reusable core of recon_remediate_apply (docstring there):
     apply the remediation plan, re-run the digest recon src vs post-apply
     target, and report per-action applied counts + residual convergence."""
-    # One source digest serves BOTH the fault-detection tier (inside
-    # remediation_plan) and the post-apply re-verify: bucket-bounded, so
-    # the checkpoint is metadata-sized while saving one full source
-    # scan+digest per run (r18, guide §2.4).
-    sd = _bh_digest(_bh_words(src), "src").localCheckpoint()
-    plan, tgt_after = remediation_apply_frames(src, tgt, sd=sd)
+    # ONE materialized digest action serves the whole pipeline (r19,
+    # guide §2.4/§5 — fusing r18's two separate checkpoints): the fused
+    # both-sides digest (union-tagged single aggregate) is checkpointed
+    # once, then the fault-detection disagreement list AND the re-verify's
+    # source digest are metadata-sized derivations of it — no second
+    # digest action, no re-scan. Bucket-bounded (≤ _BH_BUCKETS + NULL-side
+    # rows) at any data size.
+    both = _bh_digest_both(src, tgt).localCheckpoint()
+    bad = both.filter(~_bh_same_digest())
+    sd = both.filter(F.col("src_cnt").isNotNull()).select(
+        "bucket", "src_cnt", "src_d1", "src_d2"
+    )
+    plan, tgt_after = remediation_apply_frames(src, tgt, bad=bad)
     td = _bh_digest(_bh_words(tgt_after), "tgt")
     bad_after = _bh_bad(sd, td)
     resid = _bh_key_diff(src, tgt_after, bad_after).select("bucket", "k")

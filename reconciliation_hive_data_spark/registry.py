@@ -71,19 +71,17 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # (s_stateful_custom r3 vectorized-accumulator rewrite superseded by
     # the r12 entry below — single entry at the max round, as with
     # x_dedup_clusters)
-    "x_decontaminate": 3,    # array-side gram totals (single explode)
-    "x_dedup_near": 5,            # persisted shingle table + checkpointed result
-    "x_dedup_simhash": 5,         # checkpointed signature before self-join
-    "x_dedup_simhash_banded": 5,  # checkpointed signature before band join
+    # (x_decontaminate r3 / x_dedup_near r5 / x_dedup_simhash r5 /
+    # x_dedup_simhash_banded r5 entries superseded by the r18 single-scan
+    # batch below — single entry at the max round)
     # (recon_api_summary r5 persisted-sides rewrite superseded by the r15
     # entry below — single entry at the max round)
     "join_range": 5,              # stats-sized grid replaced the fixed 1-hour grid
     "x_text_repetition": 5,       # bound token column + sorted-run top count
     "udtf_lateral": 5,            # Arrow-batched UDTF evaluation (useArrow)
-    # checkpointed edge list across CC rounds (r5); CC loop factored into
-    # connected_components (r9) — single entry at the max round, since the
-    # fronting logic keys off the most recent rewrite
-    "x_dedup_clusters": 9,
+    # (x_dedup_clusters r5 checkpointed edge list / r9 connected_components
+    # factoring superseded by the r18 single-scan entry below — single
+    # entry at the max round)
     # (recon_crossformat r6 fingerprinted-ORC-artifact rewrite superseded
     # by the r15 entry below — single entry at the max round)
     # (x_knn_graph r8 half-pair rewrite superseded by the r12 entry below)
@@ -131,7 +129,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # split_part('' for NULL input) quirk. Fixture-identical (well-formed
     # URLs/JSON, no NULL segments); fronted per the rewrite rule.
     "fn_url": 12,
-    "fn_variant": 12,
+    # (fn_variant r12 try_* hardening superseded by the r15 exact-sum entry
+    # below — single entry at the max round)
     "fn_string": 12,
     # (c) fn_struct's whole-struct compare: Spark struct ``==`` inherits
     # ordering semantics (NULL fields equal) while DuckDB ``=`` is
@@ -178,7 +177,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # Java-casts NaN to code 0 where DuckDB's LEAST clamps NaN to 255;
     # NaN now routes through nanvl→NULL to the shared 255 clamp. Fixture
     # has no NaN/Inf → identical there; fronted per the rewrite rule.
-    "x_dedup_embed": 13,
+    # (x_dedup_embed's r13 entry superseded by the r18 single-scan entry
+    # below — single entry at the max round)
     "x_embed_quantize": 13,
     "x_embed_quantize_perdim": 13,
     # r13 embeddings fuzz, robustness domain: an empty or truncated vector
@@ -266,9 +266,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # rows leave the empty-sweep KNOWN ledger). Fixture sides are non-empty
     # with non-null metrics → results identical there; fronted per the
     # rewrite rule (the shared oracle-text change fronts both via snapshot
-    # mismatch as well).
-    "recon_api_summary": 15,
-    "recon_crossformat": 15,
+    # mismatch as well). (recon_api_summary / recon_crossformat r15 entries
+    # superseded by the r18 batch below — single entry at the max round)
     # r15 full-suite hypothesis find: the r14 ASC-null-order class in its
     # ARRAY-SIDE form — x_domain_mix's normalizer folded sqrt-weights over
     # array_sort'd (source, r) structs where Spark's struct comparison put
@@ -303,20 +302,43 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # sf0.01, r18 session); fronted per the rewrite rule.
     "recon_rowcount": 18,
     "recon_colfp": 18,
-    "recon_keys_missing": 18,
     "recon_keys_dup": 18,
     "recon_rowhash": 18,
     "recon_celldiff": 18,
     "recon_tolerance": 18,
     "recon_partition_drill": 18,
-    "recon_api_summary": 18,
-    "recon_crossformat": 18,
     "recon_agg_drift": 18,
     "recon_sample_audit": 18,
-    "recon_bucket_hash": 18,
-    "recon_bucket_drill": 18,
-    "recon_remediate": 18,
-    "recon_remediate_apply": 18,
+    # r19 OPTIMIZATION round, guide §2.4: the bucket-recon digest and drill
+    # tiers now compute both sides in ONE union-tagged aggregate each
+    # (_bh_digest_both / the fused _bh_key_diff) instead of two per-side
+    # aggregates + a full-outer merge join — one exchange where there were
+    # two + a join, with the full-outer NULL semantics reproduced exactly
+    # (NULL-bucket rows stay per-side via a null-side grouping column).
+    # remediate_apply additionally fuses its r18 pair of digest
+    # checkpoints (source digest + disagreement list) into ONE both-sides
+    # digest checkpoint: 5 eager actions → 4. Row-identical (pinned
+    # against the old spelling incl. NULL keys in
+    # tests/test_round19_opt.py; strict parity green); fronted per the
+    # rewrite rule.
+    "recon_bucket_hash": 19,
+    "recon_bucket_drill": 19,
+    "recon_remediate": 19,
+    "recon_remediate_apply": 19,
+    # r19 OPTIMIZATION round, guide §2.4/§5: ReconPair.summary() fuses its
+    # six independent check plans (12 side-consumptions behind different
+    # shuffle keys, persist-backed) into a per-key tier (ONE full-outer
+    # join against a once-aggregated target: missing/duplicate keys, hash
+    # diffs via the distinct-hash set, cell diffs via the min-hash
+    # survivor struct) + a global fingerprint tier that also carries the
+    # count check; the persist pair is gone with the fan-out that
+    # justified it (measured 2.8-2.9 s → 2.2-2.5 s per report at sf0.1).
+    # Check counts equal the standalone methods' row counts (pinned vs the
+    # unfused spelling incl. NULL-key/dup-key hostile pairs in
+    # tests/test_round19_opt.py; strict parity green); fronted per the
+    # rewrite rule.
+    "recon_api_summary": 19,
+    "recon_crossformat": 19,
     # r18 OPTIMIZATION round, same guide-§2.4 class as the recon batch:
     # documents_dup()/embeddings_dup() now inject their duplicate rows via
     # explode-over-offsets in ONE corpus scan instead of UNION ALL of a
@@ -350,7 +372,9 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # r18 OPTIMIZATION round: keys_missing's two directed ANTI joins
     # (each inlining both sides' distinct aggregates) replaced by ONE
     # full-outer over the same two distincts with null-side
-    # classification — identical multiset, one merge pass instead of two.
+    # classification — identical multiset, one merge pass instead of two —
+    # in addition to the single-scan faulty-target batch above (ADVICE r18:
+    # the batch's duplicate literal removed, this entry is the single one).
     # Parity green; fronted per the rewrite rule.
     "recon_keys_missing": 18,
     # r18 OPTIMIZATION round: _documents3's 5-arm UNION ALL (SIX corpus

@@ -6,6 +6,7 @@ exact injected fault sets — no more, no fewer.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -26,6 +27,7 @@ def fault_plan(draw):
     return drop, dup, drift, null
 
 
+@pytest.mark.soak
 @settings(
     max_examples=8,
     deadline=None,

@@ -5,6 +5,7 @@ columns, dims broadcast, facts don't, and aggregates are two-phase.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from reconciliation_hive_data_spark.catalog import load
@@ -361,6 +362,7 @@ def test_tpch_q18_having_is_semi_join_not_distinct_join(spark, sf_dir):
     assert "LeftSemi" in p
 
 
+@pytest.mark.soak
 def test_no_accidental_cartesian_or_bnl_anywhere(spark, sf_dir):
     """Repo-wide plan lint: no registered query may contain a
     CartesianProduct or BroadcastNestedLoopJoin unless whitelisted. A BNL

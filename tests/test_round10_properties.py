@@ -281,6 +281,7 @@ _RECON_ALL_ORDERS = _RECON_QUERIES + (
 )
 
 
+@pytest.mark.soak
 def test_recon_fault_classes_detected_exactly(spark, tmp_path):
     """One synthetic table covering every fault class plus the null edges;
     assert the reports list EXACTLY the injected faults (independent
@@ -397,6 +398,7 @@ _HEADER_ORDERS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -698,6 +700,7 @@ _DOCS_QUERIES = (
 )
 
 
+@pytest.mark.soak
 def test_text_family_matches_oracle_on_edge_documents(spark, tmp_path):
     """All 27 documents-only oracle queries replayed against DuckDB on a
     corpus of edge shapes: empty text, 1- and 2-token docs (below shingle
@@ -729,6 +732,7 @@ _FUZZ_DOCS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,

@@ -557,6 +557,7 @@ def _write_tpch_tables(spark, d: str, orders, orphans, customers=()):
     ).coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
 
 
+@pytest.mark.soak
 @settings(
     max_examples=4,
     deadline=None,
@@ -664,6 +665,7 @@ def _write_win_tables(spark, d, events, orders, customers):
     ).coalesce(1).write.mode("overwrite").parquet(d + "/customer.parquet")
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -797,6 +799,7 @@ def _write_agg_tables(spark, d, lines, orders, events, customers):
     ).coalesce(1).write.mode("overwrite").parquet(d + "/region.parquet")
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -906,6 +909,7 @@ _REL_QUERIES = (
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -976,6 +980,7 @@ _STREAM_QUERIES = (
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=2,
     deadline=None,

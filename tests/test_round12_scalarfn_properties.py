@@ -47,6 +47,7 @@ Engine-semantics notes pinned by this fuzz (probed r12, both engines):
 
 from __future__ import annotations
 
+import pytest
 from datetime import datetime
 
 from hypothesis import HealthCheck, given, settings
@@ -164,6 +165,7 @@ def _write_scalar_tables(spark, d, n, shift):
     ).coalesce(1).write.mode("overwrite").parquet(d + "/embeddings.parquet")
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -209,6 +211,7 @@ _NASTY_DATES = _DATES + [datetime(9999, 12, 31, 23, 59, 59),
                          datetime(1969, 12, 31, 23, 59, 59, 999999)]
 
 
+@pytest.mark.soak
 def test_scalar_family_never_aborts_on_dirty_rows(spark, tmp_path):
     """The Spark side of every scalar query COMPLETES over rows the parity
     domain excludes — malformed JSON/URL material, locale-trap case

@@ -34,6 +34,7 @@ sets stay deterministic under the dense ties this fuzz manufactures.
 
 from __future__ import annotations
 
+import pytest
 from datetime import datetime, timedelta
 
 from hypothesis import HealthCheck, given, settings
@@ -196,6 +197,7 @@ def _write_star(spark, d, orders, customers, parts, suppliers):
     ).coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
 
 
+@pytest.mark.soak
 @settings(
     max_examples=2,
     deadline=None,

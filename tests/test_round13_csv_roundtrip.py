@@ -23,6 +23,7 @@ the sentinel).
 
 from __future__ import annotations
 
+import pytest
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
@@ -115,6 +116,7 @@ _ROWS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=8,
     deadline=None,

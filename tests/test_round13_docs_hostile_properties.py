@@ -27,6 +27,7 @@ out of contract in the r12 scalar-fn fuzz).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -142,6 +143,7 @@ def _write_documents_nullable(spark, d: str, docs) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -180,6 +182,7 @@ _PINNED = [
 ]
 
 
+@pytest.mark.soak
 def test_text_family_on_pinned_hostile_corpus(spark, tmp_path):
     """Deterministic replay of the full hostile shape set — keeps the
     class closed without depending on hypothesis search luck (the

@@ -17,6 +17,7 @@ stays closed deterministically, independent of fuzz search luck.
 
 from __future__ import annotations
 
+import pytest
 from .parity import compare as _compare
 from .test_round12_tpchfull_properties import _write_star
 
@@ -43,6 +44,7 @@ _PARTS = [(2, 1, 1, 2)]  # (name, brand, TYPE=PROMO, size) at partkey 0
 _SUPPLIERS = [(2, 3)]  # suppkey 0 (dense), any nation/acctbal
 
 
+@pytest.mark.soak
 def test_q14_q8_zero_revenue_is_null_not_abort(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("tpchzero"))
     _write_star(spark, d, _ORDERS, _CUSTOMERS, _PARTS, _SUPPLIERS)

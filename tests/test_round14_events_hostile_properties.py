@@ -22,6 +22,7 @@ batch twins), via the test_round10 oracle-parity mechanism.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -229,6 +230,7 @@ _EVENTS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=2,
     deadline=None,

@@ -24,6 +24,7 @@ Probe results that shape this file (Spark 4.1, r14):
 
 from __future__ import annotations
 
+import pytest
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
@@ -87,6 +88,7 @@ _ROWS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=8,
     deadline=None,

@@ -29,6 +29,7 @@ expansion is ('aa','aa')).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from .test_round10_properties import _oracle_parity, _write_orders
@@ -100,6 +101,7 @@ def test_null_dates_spill_and_month_gap(spark, tmp_path):
     assert all(r.n_key_drift == 0 for r in out.values())
 
 
+@pytest.mark.soak
 def test_single_parity_sides_fileless(spark, tmp_path):
     """ALL-odd keys leave v1 with an empty (but readable) plain dir; ALL-
     even keys leave v2's partitioned dir fileless (read raises — the
@@ -197,6 +199,7 @@ def test_bpe_n_marker_pair_reformation(spark, tmp_path):
     assert merges[2] == ("aa", "aa")
 
 
+@pytest.mark.soak
 def test_bpe_n_merge_exhaustion_is_identity(spark, tmp_path):
     """A corpus whose vocabulary collapses before round 3 (every word is a
     repeated two-letter run): later rounds elect NULL and must pass the

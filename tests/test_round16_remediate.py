@@ -34,6 +34,7 @@ never produces.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -243,6 +244,7 @@ _DUP_ORDERS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=4,
     deadline=None,

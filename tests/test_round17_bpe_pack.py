@@ -22,6 +22,7 @@ pinned-corpus parity test here.
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 import re
 from collections import Counter
@@ -202,6 +203,7 @@ def test_bpe_pack_zero_token_doc_on_boundary_goes_to_next_seq(spark):
 # -- hypothesis fuzz: replica equality on the hostile-docs corpus zoo ---------
 
 
+@pytest.mark.soak
 @settings(
     max_examples=8,
     deadline=None,

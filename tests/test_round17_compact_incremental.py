@@ -24,6 +24,7 @@ NEW appears right after it).
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 import shutil
 import tempfile
@@ -233,6 +234,7 @@ _ROWS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=4,
     deadline=None,

@@ -16,6 +16,7 @@ plus a direct pinned parity check here.
 
 from __future__ import annotations
 
+import pytest
 import shutil
 import tempfile
 
@@ -102,6 +103,7 @@ def test_drop_list_oracle_parity_on_pinned_corpus(spark, tmp_path):
     _oracle_parity(spark, d, ("x_dedup_drop_list",))
 
 
+@pytest.mark.soak
 @settings(
     max_examples=6,
     deadline=None,

@@ -35,6 +35,7 @@ Pinned hazards from the §7.13 vet note:
 
 from __future__ import annotations
 
+import pytest
 import hashlib
 import shutil
 import tempfile
@@ -362,6 +363,7 @@ _DUP_ORDERS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=4,
     deadline=None,

@@ -6,6 +6,7 @@ plan, so a bug that slipped past the (same-shaped) oracle still fails here.
 
 from __future__ import annotations
 
+import pytest
 import os
 
 import pyarrow.parquet as pq
@@ -173,6 +174,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.soak
 @settings(
     max_examples=6,
     deadline=None,

@@ -6,6 +6,7 @@ rather than rebuilt)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from reconciliation_hive_data_spark.plans.pipeline_ops import (
@@ -283,6 +284,7 @@ _ASOF_EVENTS = st.lists(
 )
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,
@@ -659,6 +661,7 @@ def _ref_zorder(rows):
     return out
 
 
+@pytest.mark.soak
 @settings(
     max_examples=3,
     deadline=None,

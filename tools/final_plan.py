@@ -2,6 +2,15 @@
 adaptive plan (isFinalPlan=true), which shows runtime exchange reuse /
 AQE join rewrites the initial explain() cannot.
 
+The timing loop uses the noop sink (guide §1.4), but a DataFrameWriter.save
+wraps the logical plan in a NEW write-command QueryExecution — it never
+executes the DataFrame's OWN QueryExecution, so explaining that one after
+the writes would still show isFinalPlan=false (ADVICE r18). The explain
+step therefore runs one extra ``df.collect()`` first, which executes the
+DataFrame's own QE and leaves its adaptive plan finalized. (collect is fine
+here: every registered query's result is report-sized; the TIMED passes
+stay on the noop sink.)
+
 Usage: python tools/final_plan.py <query> [reps]
 """
 
@@ -42,6 +51,7 @@ def main() -> None:
             f" noop={t_all - t_build:.3f}s total={t_all:.3f}s",
             flush=True,
         )
+    df.collect()  # execute df's OWN QueryExecution so AQE finalizes it
     print(df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), "formatted"
     ))
