@@ -84,9 +84,47 @@ def _ts_is_nanos_probe(path: str, size: int, mtime_ns: int) -> bool:
     )
 
 
+#: Session-scoped RELATION cache for :func:`load` (r19, guide §1.2 /
+#: VERDICT r18 item 4): ``spark.read.parquet`` costs 50-90 ms per call on
+#: this box (py4j round trips + footer/schema inference) and the bench
+#: makes 1000+ such calls per run — pure per-query fixed overhead. The
+#: cache stores the LAZY DataFrame (an unexecuted plan: schema + file
+#: listing — metadata, never data or results; every action still scans the
+#: parquet), keyed on the owning session identity AND the file's stat
+#: signature, so a fixture regenerated in place re-probes instead of
+#: serving a stale schema — the events_ts_is_nanos memoization contract.
+_RELATION_CACHE: dict[tuple, DataFrame] = {}
+_RELATION_CACHE_MAX = 512
+
+
+def _path_sig(path: str) -> tuple:
+    """Stat signature of a fixture path. For directory datasets the
+    per-entry stats ride along (a Spark overwrite rewrites part files in a
+    recreated dir, so either the dir inode or the entry list changes); the
+    entry walk is capped — past the cap we fall back to the dir stat alone,
+    which still catches the recreate-the-dir overwrite pattern."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        # absent path: let spark.read.parquet raise its own (uncached) error
+        return ("missing",)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries: list[tuple] = []
+    for nm in sorted(os.listdir(path))[:64]:
+        try:
+            est = os.stat(os.path.join(path, nm))
+        except OSError:
+            continue
+        entries.append((nm, est.st_size, est.st_mtime_ns))
+    return (st.st_mtime_ns, tuple(entries))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet is self-describing: schema comes from
     the footer, column pruning + predicate pushdown apply automatically.
+    The returned DataFrame is an immutable lazy relation and is served from
+    a stat-validated per-session cache (``_RELATION_CACHE`` above).
 
     ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses outright
     (PARQUET_TYPE_ILLEGAL). We read nanos as int64 (legacy conf, runtime-
@@ -96,7 +134,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
-    if name == "events":
+    path = table_path(sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark._jsparkSession),  # noqa: SLF001 - session identity
+        path,
+        _path_sig(path),
+    )
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_uncached(spark, sf_dir, name)
+    if len(_RELATION_CACHE) >= _RELATION_CACHE_MAX:
+        _RELATION_CACHE.clear()
+    _RELATION_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":  # noqa: PLR1702 - vintage fork documented in load()
         from pyspark.sql import functions as F
 
         if not events_ts_is_nanos(sf_dir):

@@ -273,3 +273,33 @@ def test_summary_fused_matches_unfused_on_hostile_pair(spark):
 def test_summary_fused_empty_sides_all_match(spark):
     got = _fused_summary_counts(_pair(spark, [], []))
     assert got == {c: 0 for c in _SUMMARY_CHECKS}
+
+
+# ---------------------------------------------------------------------------
+# catalog.load relation cache: metadata reuse, stat-invalidated
+# ---------------------------------------------------------------------------
+
+
+def test_load_relation_cache_hits_and_invalidates(spark, sf_dir, tmp_path):
+    import shutil
+
+    from reconciliation_hive_data_spark import catalog
+
+    a = catalog.load(spark, sf_dir, "orders")
+    assert catalog.load(spark, sf_dir, "orders") is a  # same lazy relation
+
+    tmp = str(tmp_path)
+    shutil.copy(f"{sf_dir}/orders.parquet", f"{tmp}/orders.parquet")
+    c1 = catalog.load(spark, tmp, "orders")
+    assert catalog.load(spark, tmp, "orders") is c1
+    n1 = c1.count()
+    c1.limit(3).write.mode("overwrite").parquet(f"{tmp}/new.parquet")
+    shutil.rmtree(f"{tmp}/orders.parquet", ignore_errors=True)
+    import os
+
+    if os.path.exists(f"{tmp}/orders.parquet"):
+        os.remove(f"{tmp}/orders.parquet")
+    shutil.move(f"{tmp}/new.parquet", f"{tmp}/orders.parquet")
+    c2 = catalog.load(spark, tmp, "orders")
+    assert c2 is not c1  # stat changed -> re-probed
+    assert c2.count() == 3 and n1 > 3
