@@ -445,17 +445,29 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     k_int = F.from_json("props", "k INT").getField("k")
     k_dbl = F.from_json("props", "k DOUBLE").getField("k")
-    gjo = F.get_json_object("props", "$.k")
-    is_nonint_num = k_dbl.isNotNull() & gjo.rlike("[.eE]")
-    return e.select(
+    # ONE json_tuple parse serves both text extractions (r19, guide §2.3 —
+    # VERDICT r18 item 7): json_tuple and get_json_object share the same
+    # Jackson path-extraction semantics for top-level keys (malformed JSON
+    # → NULL row, absent key → NULL, raw-text value passthrough — pinned
+    # by the r14 hostile-events fuzz), but json_tuple parses the document
+    # once for every requested field where two get_json_object calls
+    # parsed it twice. The two from_json parses stay: their STRICT
+    # typing IS the declared k_int/k_num contract (docstring above).
+    j = e.select(
+        "event_id",
+        "props",
+        F.json_tuple("props", "k", "missing").alias("_gk", "_gm"),
+    )
+    is_nonint_num = k_dbl.isNotNull() & F.col("_gk").rlike("[.eE]")
+    return j.select(
         "event_id",
         F.when(is_nonint_num, F.lit(None).cast("string"))
-        .otherwise(gjo)
+        .otherwise(F.col("_gk"))
         .alias("k_str"),
         F.when(is_nonint_num, k_dbl).alias("k_num"),
         k_int.alias("k_int"),
         (k_int % 10).alias("k_mod"),
-        F.get_json_object("props", "$.missing").alias("missing_key"),
+        F.col("_gm").alias("missing_key"),
     )
 
 

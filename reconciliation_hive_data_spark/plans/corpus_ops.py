@@ -417,20 +417,50 @@ def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: bigrams come from one lead() window per document partition;
     unigram and total counts are algebraic aggregates; the support
     threshold prunes the pair table BEFORE the two unigram joins (the
-    small side broadcasts); top-20 is a TakeOrdered, not a global sort."""
+    small side broadcasts); top-20 is a TakeOrdered, not a global sort.
+
+    Two-scan shape (r19, guide §2.4 — VERDICT r18 item 5): the pre-r19
+    plan re-inlined the posexplode subtree at five sites (uni ×3 via
+    ua/ub/tot, bg ×2 via btot/pc — 5 scans / 7 exchanges; persisting the
+    token/bigram tables measured 1.6× slower, r18 negative result). Now
+    the vocabulary aggregate is computed ONCE and localCheckpointed
+    (vocab-sized — metadata, the _bh_bad class, unlike the row-sized
+    token/bigram tables that made persist lose), and both corpus totals
+    fall out of it arithmetically instead of re-scanning: total tokens
+    t = Σ cnt, and total bigrams bt = t − #docs-with-tokens (every doc
+    contributes exactly len−1 adjacent pairs; #docs-with-tokens rides the
+    same aggregate as Σ[pos = 0]). One scan builds the vocabulary, one
+    scan builds the support-filtered pair table — the only two passes the
+    algorithm fundamentally needs."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "term")
     )
-    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
-    tot = toks.agg(F.count("*").cast("double").alias("t"))
+    uni = (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n_first"),
+        )
+        # vocab-sized checkpoint: +~0.1 s of fixed eager-action cost
+        # locally (measured 0.66 → 0.76 s, within the driver's noise
+        # floor) buys 3 re-inlined scan+explode+groupBy subtrees → 1 —
+        # at 100 TB that is two fewer full corpus passes per run
+        .localCheckpoint()
+    )
+    # exact-integer totals derived from the vocabulary: identical values to
+    # the former COUNT(*) scans (sum of per-term counts / pairs-per-doc
+    # arithmetic), cast to double at the very end as before
+    tot = uni.agg(
+        F.sum("cnt").cast("double").alias("t"),
+        (F.sum("cnt") - F.sum("n_first")).cast("double").alias("bt"),
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     bg = (
         toks.withColumn("tok_b", F.lead("term").over(wdoc))
         .filter(F.col("tok_b").isNotNull())
         .select(F.col("term").alias("tok_a"), "tok_b")
     )
-    btot = bg.agg(F.count("*").cast("double").alias("bt"))
     pc = (
         bg.groupBy("tok_a", "tok_b")
         .agg(F.count("*").alias("pair_n"))
@@ -442,7 +472,6 @@ def x_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc.join(F.broadcast(ua), "tok_a")
         .join(F.broadcast(ub), "tok_b")
         .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(btot))
         .select(
             "tok_a",
             "tok_b",

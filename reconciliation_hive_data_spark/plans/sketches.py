@@ -28,7 +28,7 @@ themselves are the verified artifact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -443,30 +443,91 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k-1)/U_(k) is one double expression over identical ints. Exact
     distincts + exact intersection ride along for calibration.
 
-    At 100 TB: each side's sketch is a streamable top-k of a narrow hash
-    projection (TakeOrdered — per-partition k-smallest then a k-sized
-    merge, no global sort); sketches merge by unioning value lists and
-    re-truncating to k, so per-shard/per-day sketches compose without
-    touching raw keys again."""
-    # NULL custkeys are not keys (r14 audit — see the oracle comment):
-    # without this filter a NULL hash sorts FIRST in Spark's ASC top-k
-    # and LAST in DuckDB's, displacing one real hash from the sketch
-    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
-    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10)
-    sides = {
-        s: o.filter(F.col("o_orderstatus") == s)
-        .select(h.cast("bigint").alias("h"))
-        .distinct()
-        for s in ("O", "F")
-    }
-    union = sides["O"].union(sides["F"]).distinct()
+    Single-pass shape (r19, guide §2.4 — VERDICT r18 item 5): the pre-r19
+    plan re-inlined the distinct-hash subtree at its six consumer sites
+    (three TakeOrdered sketches, two exact distincts, the intersect) — 7
+    parquet scans / 9 exchanges; column pruning differentiates the
+    subtrees, so runtime exchange reuse never fires (probed r19), and
+    persisting them measured 1.8× slower (r18 negative result). Now ONE
+    scan feeds ONE per-hash aggregate H (side membership flags + per-side
+    exact key counts), one global cumulative window over H derives every
+    per-side k-th-smallest order statistic, and one final aggregate emits
+    all eight outputs — bit-identical to the TakeOrdered spelling
+    (verified row-for-row, and pinned in tests/test_round19_opt.py).
 
-    def kmv(df: DataFrame, tag: str) -> DataFrame:
-        return (
-            df.orderBy("h")
-            .limit(_KMV_K)
-            .agg(F.max("h").alias(f"tau_{tag}"), F.count("*").alias(f"c_{tag}"))
+    At 100 TB the window's global ordering needs the standard exact
+    refinement this fixture-scale plan omits (H here is a metadata-sized
+    distinct-customer table): aggregate H once more into 2^12 h-prefix
+    buckets of per-side counts, take each side's covering-prefix bound
+    from the cumulative bucket counts (a 4096-row window), and pre-filter
+    H to h below the per-side bounds before the ordered window — every
+    true top-k candidate provably survives, and the window input shrinks
+    to O(k · buckets). Sketch MERGE composition is unchanged: per-shard
+    sketches still union value lists and re-truncate to k without
+    touching raw keys."""
+    # NULL custkeys are not keys (r14 audit — see the oracle comment):
+    # without this filter a NULL hash would occupy a sketch slot here
+    # (NULL never enters DuckDB's k-smallest) and skew the union tier.
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hh = (
+        o.select(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_custkey").alias("ck"),
+            h.alias("h"),
         )
+        .groupBy("h")
+        .agg(
+            F.max(F.col("st") == "O").alias("in_a"),
+            F.max(F.col("st") == "F").alias("in_b"),
+            # per-hash distinct KEY counts: summed, they are the exact
+            # per-side COUNT(DISTINCT custkey) even under md5 collisions
+            # (each custkey lands in exactly one hash group)
+            F.countDistinct(F.when(F.col("st") == "O", F.col("ck"))).alias(
+                "nk_a"
+            ),
+            F.countDistinct(F.when(F.col("st") == "F", F.col("ck"))).alias(
+                "nk_b"
+            ),
+        )
+    )
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hh.select(
+        "h",
+        "in_a",
+        "in_b",
+        "nk_a",
+        "nk_b",
+        F.sum(F.col("in_a").cast("int")).over(w).alias("ca"),
+        F.sum(F.col("in_b").cast("int")).over(w).alias("cb"),
+        F.sum(F.lit(1)).over(w).alias("cu"),
+    )
+    k = F.lit(_KMV_K)
+    agg = cum.agg(
+        F.max(F.when(F.col("in_a") & (F.col("ca") <= k), F.col("h"))).alias("tau_a"),
+        F.coalesce(
+            F.max(F.when(F.col("in_a") & (F.col("ca") <= k), F.col("ca"))), F.lit(0)
+        ).alias("c_a"),
+        F.max(F.when(F.col("in_b") & (F.col("cb") <= k), F.col("h"))).alias("tau_b"),
+        F.coalesce(
+            F.max(F.when(F.col("in_b") & (F.col("cb") <= k), F.col("cb"))), F.lit(0)
+        ).alias("c_b"),
+        F.max(F.when(F.col("cu") <= k, F.col("h"))).alias("tau_u"),
+        F.coalesce(F.max(F.when(F.col("cu") <= k, F.col("cu"))), F.lit(0)).alias(
+            "c_u"
+        ),
+        F.sum("nk_a").alias("exact_a"),
+        F.sum("nk_b").alias("exact_b"),
+        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias(
+            "exact_inter"
+        ),
+    )
 
     def est(tag: str):
         # try_divide, not `/` (ADVICE r13 → r14): md5 is unkeyed, so tau=0
@@ -482,25 +543,7 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"tau_{tag}").cast("double"),
         )
 
-    exact = o.agg(
-        F.countDistinct(
-            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
-        ).alias("exact_a"),
-        F.countDistinct(
-            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
-        ).alias("exact_b"),
-    )
-    exact_inter = (
-        sides["O"].intersect(sides["F"]).agg(F.count("*").alias("exact_inter"))
-    )
-    out = (
-        kmv(sides["O"], "a")
-        .crossJoin(F.broadcast(kmv(sides["F"], "b")))
-        .crossJoin(F.broadcast(kmv(union, "u")))
-        .crossJoin(F.broadcast(exact))
-        .crossJoin(F.broadcast(exact_inter))
-    )
-    return out.select(
+    return agg.select(
         F.lit(_KMV_K).cast("bigint").alias("k"),
         est("a").alias("est_a"),
         est("b").alias("est_b"),

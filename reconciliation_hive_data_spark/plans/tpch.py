@@ -24,7 +24,7 @@ groupBy is two-phase map-side-combining.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..canonical import (
@@ -1013,11 +1013,20 @@ LIMIT 100
 @query("tpch_q2", oracle=_Q2_ORACLE)
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 minimum-cost supplier: for each size-15 SMALL part, the
-    EUROPE supplier(s) quoting the region-minimum cost. The correlated
-    MIN subquery decorrelates to a per-part minimum over region-filtered
-    partsupp joined back on (part, cost) — all dimension-sized, all
-    broadcast. Adaptation: partsupp is the derived fixture (PARTSUPP_CTE);
-    output drops the spec's absent address/comment columns."""
+    EUROPE supplier(s) quoting the region-minimum cost.
+
+    Staged once (r19, guide §2.4/§3.3 — VERDICT r18 item 6): the correlated
+    MIN subquery is a per-part window minimum over the region-filtered
+    costs instead of a groupBy + join-back — the pre-r19 plan re-inlined
+    the whole partsupp⋈eu subtree on both sides of that self-join (11
+    scans / 5 exchanges). The per-part minimum is also computed AFTER the
+    broadcast part filter: restricting to a subset of part keys cannot
+    change a per-part-key minimum, so the window input shrinks to the
+    filtered parts' quotes (at scale: the exchange carries only
+    size-15-SMALL quotes, not all of partsupp). Ties keep every
+    minimum-cost supplier, exactly as the (part, cost) equi-join-back did.
+    Adaptation: partsupp is the derived fixture (PARTSUPP_CTE); output
+    drops the spec's absent address/comment columns."""
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
     )
@@ -1029,20 +1038,15 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    costs = _partsupp(spark, sf_dir).join(
-        F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey
-    )
-    mins = costs.groupBy("ps_partkey").agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
-    return (
-        costs.join(
-            F.broadcast(mins),
-            (costs.ps_partkey == mins.ps_partkey)
-            & (costs.ps_supplycost == mins.min_cost),
-        )
-        .drop(mins.ps_partkey)
+    costs = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(eu), F.col("ps_suppkey") == eu.s_suppkey)
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        costs.withColumn("_min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
                 "ps_supplycost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")

@@ -214,7 +214,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     "agg_mode": 14,
     "x_zorder": 14,
     "s_checkpoint_resume": 14,
-    "fn_map_json": 14,
+    # (fn_map_json's r14 strict-typing entry superseded by the r19
+    # single-parse entry below — single entry at the max round)
     # fn_variant / sink_csv r14 try_cast/try_sum hardening superseded by
     # the r15 exact-sum rewrite (ADVICE r14): try_sum NULLed on PARTIAL
     # int64 overflow — partition-order-dependent for a mixed-sign group
@@ -257,7 +258,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # Now F.try_divide, matching the r12/r13 division hardening. Fixture
     # taus are large positive → results identical there; fronted per the
     # rewrite rule.
-    "sketch_kmv": 14,
+    # (sketch_kmv's r14 try_divide/NULL-key entry superseded by the r19
+    # single-pass entry below — single entry at the max round)
     # r15 (§7.7.2, the deferred empty==empty polish): ReconPair.fingerprints'
     # status now treats a both-sides-NULL metric (min/max/sum over an empty
     # or all-null side) as MATCH via eqNullSafe, and the shared summary
@@ -390,6 +392,34 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # fronted per the rewrite rule.
     "set_dedup": 18,
     "recon_snapshot_cdc": 18,
+    # r19 OPTIMIZATION round, guide §2.4 (VERDICT r18 item 5): the two
+    # known subtree-duplication holdouts restructured without the persist
+    # that measured as a loss in r18. sketch_kmv: ONE scan + one per-hash
+    # aggregate + one cumulative window + one final aggregate replaces six
+    # consumers re-inlining the distinct-hash subtree (7 scans → 1);
+    # output bit-identical to the TakeOrdered spelling (verified
+    # row-for-row, pinned in tests/test_round19_opt.py). x_token_pmi: the
+    # corpus totals now fall out of the (checkpointed, vocab-sized)
+    # unigram aggregate arithmetically (t = Σcnt, bt = t − docs-with-
+    # tokens), 5 scans → 2. Parity green; fronted per the rewrite rule.
+    "sketch_kmv": 19,
+    "x_token_pmi": 19,
+    # r19 OPTIMIZATION round, guide §2.4/§3.3 (VERDICT r18 item 6): q2's
+    # correlated-min stage is a per-part window minimum computed after the
+    # broadcast part filter, replacing the groupBy + (part, cost)
+    # join-back that re-inlined the partsupp⋈eu subtree on both sides
+    # (11 scans → 6); a part-key subset cannot change a per-part-key
+    # minimum and ties keep every minimum-cost supplier, so the multiset
+    # is identical. Parity + fuzzed-star suite green; fronted per the
+    # rewrite rule.
+    "tpch_q2": 19,
+    # r19 OPTIMIZATION round, guide §2.3 (VERDICT r18 item 7): one
+    # json_tuple parse serves both text extractions (same Jackson
+    # top-level-key semantics as get_json_object — r14 hostile-events
+    # fuzz re-run green); the two STRICT from_json parses remain the
+    # declared typing contract. 4 parses/row → 3, measured 1.04 → 0.72 s.
+    # Parity green; fronted per the rewrite rule.
+    "fn_map_json": 19,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -276,6 +276,97 @@ def test_summary_fused_empty_sides_all_match(spark):
 
 
 # ---------------------------------------------------------------------------
+# sketch_kmv single-pass rewrite: bit-identical to the TakeOrdered spelling
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_kmv_matches_takeordered_spelling(spark, sf_dir):
+    from reconciliation_hive_data_spark.plans.sketches import (
+        _KMV_DOMAIN,
+        _KMV_K,
+        sketch_kmv,
+    )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    h = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    )
+    sides = {
+        s: o.filter(F.col("o_orderstatus") == s)
+        .select(h.cast("bigint").alias("h"))
+        .distinct()
+        for s in ("O", "F")
+    }
+    union = sides["O"].union(sides["F"]).distinct()
+
+    def kmv(df, tag):
+        return (
+            df.orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.max("h").alias(f"tau_{tag}"), F.count("*").alias(f"c_{tag}"))
+        )
+
+    def est(tag):
+        return F.try_divide(
+            (F.col(f"c_{tag}").cast("double") - 1.0) * float(_KMV_DOMAIN),
+            F.col(f"tau_{tag}").cast("double"),
+        )
+
+    exact = o.agg(
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("exact_b"),
+    )
+    exact_inter = (
+        sides["O"].intersect(sides["F"]).agg(F.count("*").alias("exact_inter"))
+    )
+    want_df = (
+        kmv(sides["O"], "a")
+        .crossJoin(F.broadcast(kmv(sides["F"], "b")))
+        .crossJoin(F.broadcast(kmv(union, "u")))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(exact_inter))
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            est("a").alias("est_a"),
+            est("b").alias("est_b"),
+            est("u").alias("est_union"),
+            (est("a") + est("b") - est("u")).alias("est_inter"),
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+        )
+    )
+    got = [tuple(r) for r in sketch_kmv(spark, sf_dir).collect()]
+    want = [tuple(r) for r in want_df.collect()]
+    assert got == want  # bit-identical incl. the est_* doubles
+
+
+# ---------------------------------------------------------------------------
+# agg_approx tolerance floor (VERDICT r18 item 9): the sketch width must not
+# silently loosen further — rsd stays <= 0.02 and the emitted assertion
+# bound stays +/-10%.
+# ---------------------------------------------------------------------------
+
+
+def test_agg_approx_tolerance_floor(spark, sf_dir):
+    import inspect
+
+    from reconciliation_hive_data_spark.operators import aggregates
+
+    src = inspect.getsource(aggregates.agg_approx)
+    assert 'approx_count_distinct("user_id", 0.02)' in src
+    assert 'approx_count_distinct("event_id", 0.02)' in src
+    assert "F.lit(0.10)" in src
+    # and the contract actually holds on the fixture
+    row = aggregates.agg_approx(spark, sf_dir).collect()[0]
+    assert row.users_within_tol and row.events_within_tol
+
+
+# ---------------------------------------------------------------------------
 # catalog.load relation cache: metadata reuse, stat-invalidated
 # ---------------------------------------------------------------------------
 
