@@ -420,6 +420,15 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # declared typing contract. 4 parses/row → 3, measured 1.04 → 0.72 s.
     # Parity green; fronted per the rewrite rule.
     "fn_map_json": 19,
+    # r19 OPTIMIZATION round, guide §2.5/§4 (VERDICT r18 item 8): the
+    # grouped-map exchange is pinned at session width
+    # (repartition(defaultParallelism, user_id) — satisfies the groupBy's
+    # distribution requirement, still ONE exchange): AQE's byte-based
+    # coalescing collapsed the small exchange to a single partition and
+    # serialized all per-user Python calls through one worker (2.39 s →
+    # 0.54 s at sf0.1, rows identical; the Python-boundary operator itself
+    # is untouched). Parity green; fronted per the rewrite rule.
+    "udtf_apply": 19,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -27,6 +27,18 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+    # Scan-parallelism FLOOR, derived from session width (r19, guide §6 /
+    # §2 "make partitioning scale-adaptive"): a single small parquet file
+    # is one 128MB-rule split, so every post-scan projection — including
+    # CPU-bound interpreted folds like the cosine families — ran on ONE
+    # core at bench scale (and a broadcast join keeps that partitioning).
+    # The floor splits small inputs across the session's cores; at
+    # production scale splits >> cores and the floor is a no-op. Env
+    # override, defaults to the session width.
+    scan_min = os.environ.get(
+        "SPARK_SCAN_MIN_PARTITIONS",
+        cpus if cpus != "*" else str(os.cpu_count() or 1),
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -34,6 +46,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.minPartitionNum", scan_min)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

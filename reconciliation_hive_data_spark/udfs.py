@@ -204,7 +204,19 @@ def udtf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (+tie-break id) — measured 2.6× faster end-to-end at sf0.1. The
     oracle's (ts, event_id) tie-break is irrelevant to the RESULT: equal
     timestamps contribute a gap of 0 in any order, so the session count is
-    tie-order-insensitive."""
+    tie-order-insensitive.
+
+    Explicit cores-wide repartition before the grouped map (r19, guide
+    §2.5/§4 — VERDICT r18 item 8): AQE's partition coalescing sizes
+    shuffle partitions by BYTES, but a grouped-map stage's cost is one
+    Python interpreter call per GROUP — on this fixture AQE collapsed the
+    small exchange to ONE partition and serialized all 1500 per-user
+    calls through a single worker (measured 2.39 s; cores-wide 0.54 s,
+    rows identical). repartition(defaultParallelism, key) pins the
+    exchange at session width — scale-adaptive (cluster width on a
+    cluster, and it makes this query's runtime genuinely core-sensitive),
+    and it satisfies the groupBy's distribution requirement, so there is
+    still exactly ONE exchange."""
 
     def sessionize(pdf: pd.DataFrame) -> pd.DataFrame:
         gaps = pdf["ts_s"].sort_values().diff()
@@ -217,8 +229,10 @@ def udtf_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", F.unix_timestamp("ts").alias("ts_s")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.unix_timestamp("ts").alias("ts_s"))
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
     )
     return ev.groupBy("user_id").applyInPandas(
         sessionize, "user_id bigint, n_sessions bigint, n_events bigint"
