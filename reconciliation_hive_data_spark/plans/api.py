@@ -370,7 +370,8 @@ class ReconPair:
                 differs = ~sc.eqNullSafe(tc)
             cell_arms.append(F.when(differs, 1).otherwise(0))
         cells = F.when(
-            s_present & t_present, reduce(add, cell_arms)
+            s_present & t_present,
+            reduce(add, cell_arms) if cell_arms else F.lit(0),
         ).otherwise(F.lit(0))
         # NULL keys never equi-join: each side's NULL-key group must stay
         # its own row (the _bh_digest_both _nullside pattern)

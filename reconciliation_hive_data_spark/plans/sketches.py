@@ -145,11 +145,12 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bit_set = F.expr(f"(shiftright(w{i}, CAST(p{i} % 32 AS INT)) & 1) = 1")
         maybe = maybe & F.coalesce(bit_set, F.lit(False))
-    actual = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
+    # true membership comes from the SAME checkpointed distinct-key frame
+    # the filter was built from (r19, guide §2.4 — the pre-r19 spelling
+    # re-scanned orders and re-ran the distinct exchange for it)
+    actual = keys.select(F.col("o_custkey").alias("c_custkey"))
     checked = checked.withColumn("maybe", maybe).join(
-        actual.distinct().withColumn("actual", F.lit(True)), "c_custkey", "left"
+        actual.withColumn("actual", F.lit(True)), "c_custkey", "left"
     )
     return (
         checked.withColumn("actual", F.coalesce("actual", F.lit(False)))
@@ -325,23 +326,40 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins the sketch shape, agg_approx carries the production HLL++.
 
     At 100 TB: one narrow map + a 64-group MAX aggregate; the register
-    table is bytes-sized and merges across days/shards by the same MAX."""
+    table is bytes-sized and merges across days/shards by the same MAX.
+
+    Single-pass shape (r19, guide §2.4): the exact-calibration
+    COUNT(DISTINCT) no longer runs its own scan + distinct expand — the
+    sketch is computed over the DISTINCT key set (duplicates cannot
+    change a per-register MAX, since rho is a pure function of the key),
+    so each register's aggregate also carries its distinct-key count and
+    the exact total is their sum. 2 scans → 1, one distinct exchange
+    instead of a distinct expand + a second full pass."""
     li = load(spark, sf_dir, "lineitem")
     h = F.md5(F.col("l_partkey").cast("string"))
-    hashed = li.select(
-        (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias("reg"),
-        F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint").alias("v"),
+    hashed = (
+        li.select("l_partkey")
+        .distinct()
+        .select(
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _HLL_M).alias(
+                "reg"
+            ),
+            F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint").alias("v"),
+        )
     )
     rho = hashed.groupBy("reg").agg(
         F.max(
             F.when(F.col("v") == 0, 49).otherwise(
                 48 - F.length(F.conv(F.col("v"), 10, 2)) + 1
             )
-        ).alias("max_rho")
+        ).alias("max_rho"),
+        F.count("*").alias("nk"),
     )
     grid = spark.range(_HLL_M).select(F.col("id").alias("reg"))
     regs = grid.join(rho, "reg", "left").select(
-        "reg", F.coalesce("max_rho", F.lit(0)).alias("max_rho")
+        "reg",
+        F.coalesce("max_rho", F.lit(0)).alias("max_rho"),
+        F.coalesce("nk", F.lit(0)).alias("nk"),
     )
     folded = regs.agg(
         F.aggregate(
@@ -353,9 +371,9 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("z"),
         F.count(F.when(F.col("max_rho") > 0, 1)).alias("n_populated"),
+        F.sum("nk").alias("exact_distinct"),
     )
-    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
-    return folded.crossJoin(F.broadcast(exact)).select(
+    return folded.select(
         F.lit(_HLL_M).cast("bigint").alias("m"),
         "n_populated",
         (F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("z")).alias("raw_estimate"),

@@ -429,6 +429,17 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # 0.54 s at sf0.1, rows identical; the Python-boundary operator itself
     # is untouched). Parity green; fronted per the rewrite rule.
     "udtf_apply": 19,
+    # r19 OPTIMIZATION round, guide §2.4: sketch_hll computes the sketch
+    # over the DISTINCT key set (rho is a pure key function, so
+    # duplicates cannot change a per-register MAX) and the exact
+    # calibration count is the sum of per-register distinct-key counts —
+    # 2 scans → 1, the countDistinct expand + second full pass gone
+    # (1.83 → 0.82 s). sketch_bloom derives true membership from the SAME
+    # checkpointed distinct-key frame the filter was built from instead
+    # of re-scanning orders (2 scans → 1 on the orders side). Parity
+    # green; fronted per the rewrite rule.
+    "sketch_hll": 19,
+    "sketch_bloom": 19,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

@@ -431,14 +431,22 @@ def test_bitmap_distinct_is_two_phase_bit_or(spark, sf_dir):
     assert "bit_or" in p
 
 
-def test_kmv_topk_is_takeordered_not_global_sort(spark, sf_dir):
-    """sketch_kmv's k-smallest per side must plan as TakeOrderedAndProject
-    (per-partition top-k + k-sized merge); a global Sort before the limit
-    would shuffle the whole hash column at scale."""
+def test_kmv_is_single_pass(spark, sf_dir):
+    """sketch_kmv's r19 single-pass shape: ONE source scan feeds one
+    per-hash aggregate, one cumulative window derives every side's
+    k-th-smallest order statistic, and one final aggregate emits all
+    outputs — the pre-r19 TakeOrdered spelling re-inlined the
+    distinct-hash subtree at six consumer sites (7 scans). A second
+    Relation appearing here means a consumer fell off the shared
+    aggregate and the scan fan-out came back."""
     from reconciliation_hive_data_spark.plans.sketches import sketch_kmv
 
-    p = plan(sketch_kmv(spark, sf_dir))
-    assert "TakeOrderedAndProject" in p
+    df = sketch_kmv(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Relation") == 1
+    p = plan(df)
+    assert "Window" in p
+    assert "CartesianProduct" not in p
 
 
 def test_knn_graph_pair_join_is_equi_on_label(spark, sf_dir):
