@@ -247,24 +247,23 @@ def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "pos")
         .agg(F.count("*").alias("cnt"))
     )
-    probes = (
-        ev.filter(F.col("user_id") < 100)
-        .select("user_id")
-        .distinct()
-        .select("user_id", d)
-        .withColumn("pos", pos)
-    )
-    est = (
-        probes.join(F.broadcast(cms), ["d", "pos"])
-        .groupBy("user_id")
-        .agg(F.min("cnt").alias("est_count"))
-    )
-    actual = (
+    # probe list and exact calibration from ONE filtered aggregate (r19,
+    # guide §2.4): the probed users' true counts ride the same groupBy
+    # that used to run twice (distinct for probes + count for actual) —
+    # 3 scans → 2; the remaining two passes (full-table sketch build,
+    # probed-slice calibration) are the algorithm's floor.
+    base = (
         ev.filter(F.col("user_id") < 100)
         .groupBy("user_id")
         .agg(F.count("*").alias("true_count"))
     )
-    return est.join(actual, "user_id").select("user_id", "est_count", "true_count")
+    probes = base.select("user_id", "true_count", d).withColumn("pos", pos)
+    return (
+        probes.join(F.broadcast(cms), ["d", "pos"])
+        .groupBy("user_id", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+        .select("user_id", "est_count", "true_count")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -440,6 +440,11 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # green; fronted per the rewrite rule.
     "sketch_hll": 19,
     "sketch_bloom": 19,
+    # r19 OPTIMIZATION round, guide §2.4: sketch_cms's probe list and
+    # exact calibration come from ONE filtered per-user aggregate (the
+    # probed users' true counts ride the same groupBy that used to run
+    # twice) — 3 scans → 2. Parity green; fronted per the rewrite rule.
+    "sketch_cms": 19,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external
