@@ -539,11 +539,15 @@ def sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max(F.when(F.col("cu") <= k, F.col("cu"))), F.lit(0)).alias(
             "c_u"
         ),
-        F.sum("nk_a").alias("exact_a"),
-        F.sum("nk_b").alias("exact_b"),
-        F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)).alias(
-            "exact_inter"
-        ),
+        # COALESCE: SUM over the empty hash table is NULL where the old
+        # COUNT(DISTINCT)/COUNT(*) spelling (and the oracle) says 0 —
+        # caught by the all-empty sweep, r19
+        F.coalesce(F.sum("nk_a"), F.lit(0).cast("bigint")).alias("exact_a"),
+        F.coalesce(F.sum("nk_b"), F.lit(0).cast("bigint")).alias("exact_b"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)),
+            F.lit(0).cast("bigint"),
+        ).alias("exact_inter"),
     )
 
     def est(tag: str):
