@@ -1644,9 +1644,17 @@ def recon_partition_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.filter(even).select(*_PE_DATA_COLS).write.mode("overwrite").parquet(
         f"{root}/v1"
     )
+    # repartition by the partition key before the partitioned write (r19,
+    # guide §6 — the write.distribution-mode=hash shape): pins the layout
+    # at one file per month REGARDLESS of scan width (without it, file
+    # count = scan splits × months touched — the small-files anti-pattern
+    # once the session's scan-parallelism floor splits the source), and
+    # at 100 TB it is the standard clustered partitioned-write pattern.
     src.filter(~even | even.isNull()).select(
         *_PE_DATA_COLS, _pe_month().alias("o_month")
-    ).write.mode("overwrite").partitionBy("o_month").parquet(f"{root}/v2")
+    ).repartition("o_month").write.mode("overwrite").partitionBy(
+        "o_month"
+    ).parquet(f"{root}/v2")
 
     def read_back(path: str, with_month: bool) -> DataFrame:
         schema = _PE_SCHEMA + (", o_month string" if with_month else "")

@@ -288,7 +288,8 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # is not conf-pinned and the driver supplies its own session.
     # Behavior-identical on the installed Spark (cast of an
     # already-string column is a no-op); fronted per the rewrite rule.
-    "recon_partition_evolve": 16,
+    # (recon_partition_evolve's r16 partition-key-cast entry superseded by
+    # the r19 clustered-write entry below — single entry at the max round)
     "recon_layout_compact": 16,
     # r18 OPTIMIZATION round, guide §2.4 (remove redundant passes): the
     # faulty-target fixture orders_target() now derives its duplicate-key
@@ -445,6 +446,16 @@ _MODIFIED_IN_ROUND: dict[str, int] = {
     # probed users' true counts ride the same groupBy that used to run
     # twice) — 3 scans → 2. Parity green; fronted per the rewrite rule.
     "sketch_cms": 19,
+    # r19 OPTIMIZATION round, guide §6: the two partitioned writes that
+    # lacked a pre-write repartition on their partition key now have one
+    # (recon_partition_evolve's v2 month layout, sink_partitioned's flag
+    # layout) — pins file count at one per partition value regardless of
+    # scan width (the session's scan-parallelism floor otherwise
+    # multiplies files by the split count), and it is the standard
+    # write.distribution-mode=hash clustered-write shape at scale.
+    # Written rows identical; parity green; fronted per the rewrite rule.
+    "recon_partition_evolve": 19,
+    "sink_partitioned": 19,
 }
 
 #: Snapshot of each oracle's md5 as of the query's most recent external

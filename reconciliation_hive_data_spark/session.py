@@ -39,6 +39,15 @@ def get_spark(
         "SPARK_SCAN_MIN_PARTITIONS",
         cpus if cpus != "*" else str(os.cpu_count() or 1),
     )
+    # NOTE (r19 probe): the floor only bites when the per-file open cost
+    # doesn't dominate it — maxSplitBytes = min(maxPartitionBytes,
+    # max(openCostInBytes, (totalBytes + nFiles*openCost) /
+    # minPartitionNum)) — so at the default 4 MB open cost only the
+    # ≥4 MB fixture tables actually split. Lowering openCostInBytes to
+    # 64 KB/256 KB to spread the sub-4 MB tables measured at the noise
+    # floor over an 18-query slice (26.5 / 28.4 / 27.5 s for 64 K /
+    # 256 K / 4 M) — the same verdict r18 reached for this knob — so the
+    # engine default stays.
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")

@@ -220,7 +220,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
-    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    # repartition by the partition key before the partitioned write (r19,
+    # guide §6): pins file count at one per flag regardless of scan width
+    # (the session's scan-parallelism floor otherwise multiplies files by
+    # the split count) — the write.distribution-mode=hash shape at scale.
+    li.repartition("l_returnflag").write.mode("overwrite").partitionBy(
+        "l_returnflag"
+    ).parquet(out)
     # explicit schema: skips footer-sampling inference AND keeps the
     # read-back well-defined when the written frame was empty (a
     # zero-file partitioned dir cannot be inferred — empty_sweep ledger)
